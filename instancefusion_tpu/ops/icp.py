@@ -1,0 +1,229 @@
+"""Frame-to-model tracking: projective point-to-plane ICP (+ photometric).
+
+jnp reference implementation of the reference's hottest path —
+`RGBDOdometry::getIncrementalTransformation` with the CUDA `icpStep` /
+`rgbStep` kernels (expected `Core/src/RGBDOdometry.cpp`,
+`Core/src/Cuda/icp.cu` — SURVEY.md §4.3).  Key TPU-first differences:
+
+- The per-pixel 27-term reduction (upper-tri 6x6 JᵀJ + Jᵀr + stats) is one
+  (6, HW) x (HW, 6) matmul — MXU work, not a hand-rolled tree reduction.
+- The reference round-trips the reduced system to the CPU every iteration
+  to solve 6x6; here the entire level/iteration loop, including the solve
+  and the `exp(xi)` update, stays on-device inside one `jit`
+  (`lax.fori_loop` over iterations, Python-unrolled over pyramid levels).
+
+Association: new-frame pixels are transformed by the current pose estimate
+and projected into the *predicted* maps (raycast of the model at the
+previous pose), point-to-plane residual against the predicted vertex +
+normal, gated by distance and normal agreement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instancefusion_tpu.config import IcpConfig
+from instancefusion_tpu.geometry.camera import Intrinsics, project
+from instancefusion_tpu.geometry.se3 import (
+    se3_exp,
+    se3_inverse,
+    transform_points,
+    rotate_vectors,
+)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class TrackResult(NamedTuple):
+    T_wc: jnp.ndarray  # (4,4) tracked pose
+    inliers: jnp.ndarray  # () f32 — associated pixel count at finest level
+    residual: jnp.ndarray  # () f32 — mean |point-to-plane residual| (m)
+    valid: jnp.ndarray  # () bool — tracking-health gate passed
+
+
+def build_normal_equations(
+    vmap_src_c: jnp.ndarray,  # (H,W,3) new-frame vertices, camera frame
+    nmap_src_c: jnp.ndarray,  # (H,W,3) new-frame normals, camera frame
+    valid_src: jnp.ndarray,  # (H,W)
+    tgt_vertex_w: jnp.ndarray,  # (Ht,Wt,3) predicted vertices, world frame
+    tgt_normal_w: jnp.ndarray,  # (Ht,Wt,3) predicted normals, world frame
+    tgt_valid: jnp.ndarray,  # (Ht,Wt)
+    T_est_wc: jnp.ndarray,  # (4,4) current estimate for the new frame
+    T_tgt_cw: jnp.ndarray,  # (4,4) world->camera of the prediction view
+    intr: Intrinsics,
+    cfg: IcpConfig,
+):
+    """One ICP linearization: returns (H 6x6, b 6, inliers, |r| sum).
+
+    Twist convention: left-multiplied increment in the world frame,
+    p' = exp(xi) @ T_est @ p, xi = [v, w] =>
+    J = d(n·(p' - q))/dxi = [n, p_w x n].
+    """
+    h, w = valid_src.shape
+    p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
+    n_w = rotate_vectors(T_est_wc, nmap_src_c.reshape(-1, 3))
+    # Project into the prediction view for association.
+    p_tc = transform_points(T_tgt_cw, p_w)
+    u, v, z = project(intr, p_tc)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
+    uic = jnp.clip(ui, 0, intr.width - 1)
+    vic = jnp.clip(vi, 0, intr.height - 1)
+    flat = vic * intr.width + uic
+    q_w = tgt_vertex_w.reshape(-1, 3)[flat]
+    n_t = tgt_normal_w.reshape(-1, 3)[flat]
+    assoc_valid = tgt_valid.reshape(-1)[flat]
+
+    diff = p_w - q_w
+    dist = jnp.linalg.norm(diff, axis=-1)
+    n_dot = jnp.sum(n_w * n_t, axis=-1)
+    mask = (
+        valid_src.reshape(-1)
+        & in_img
+        & (z > 0.0)
+        & assoc_valid
+        & (dist < cfg.dist_thresh)
+        & (n_dot > cfg.angle_thresh)
+    )
+    r = jnp.sum(n_t * diff, axis=-1)  # point-to-plane residual
+    J = jnp.concatenate([n_t, jnp.cross(p_w, n_t)], axis=-1)  # (HW, 6)
+    m = mask.astype(jnp.float32)
+    Jm = J * m[:, None]
+    # The "27-float reduction": one small matmul on the MXU.
+    H6 = jnp.matmul(Jm.T, Jm, precision=_PREC)
+    b6 = -jnp.matmul(Jm.T, (r * m)[:, None], precision=_PREC)[:, 0]
+    inliers = jnp.sum(m)
+    res_sum = jnp.sum(jnp.abs(r) * m)
+    return H6, b6, inliers, res_sum
+
+
+def build_rgb_equations(
+    vmap_src_c: jnp.ndarray,
+    intensity_src: jnp.ndarray,  # (H,W)
+    valid_src: jnp.ndarray,
+    tgt_intensity: jnp.ndarray,  # (Ht,Wt) predicted intensity
+    tgt_valid: jnp.ndarray,
+    T_est_wc: jnp.ndarray,
+    T_tgt_cw: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: IcpConfig,
+):
+    """Photometric term: r = I_tgt(proj(p)) - I_src(x).
+
+    Jacobian chain: dI/d(u,v) (image gradients of the predicted intensity,
+    sampled at the projection) x d(u,v)/dp_c x dp_c/dxi.
+    """
+    gx = 0.5 * (jnp.roll(tgt_intensity, -1, 1) - jnp.roll(tgt_intensity, 1, 1))
+    gy = 0.5 * (jnp.roll(tgt_intensity, -1, 0) - jnp.roll(tgt_intensity, 1, 0))
+
+    p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
+    p_tc = transform_points(T_tgt_cw, p_w)
+    u, v, z = project(intr, p_tc)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (ui >= 1) & (ui < intr.width - 1) & (vi >= 1) & (vi < intr.height - 1)
+    uic = jnp.clip(ui, 0, intr.width - 1)
+    vic = jnp.clip(vi, 0, intr.height - 1)
+    flat = vic * intr.width + uic
+    it = tgt_intensity.reshape(-1)[flat]
+    gxs = gx.reshape(-1)[flat]
+    gys = gy.reshape(-1)[flat]
+    tvalid = tgt_valid.reshape(-1)[flat]
+
+    r = it - intensity_src.reshape(-1)
+    zsafe = jnp.maximum(z, 1e-6)
+    # du/dp_c, dv/dp_c rows (pinhole):
+    gpx = gxs * intr.fx / zsafe
+    gpy = gys * intr.fy / zsafe
+    gpz = -(gpx * p_tc[:, 0] + gpy * p_tc[:, 1]) / zsafe
+    grad_pc = jnp.stack([gpx, gpy, gpz], axis=-1)  # dI/dp_c (3,)
+    # dp_c/dxi with left world increment: dp_c = R_cw (dv - p_w x dw)
+    R_cw = T_tgt_cw[:3, :3]
+    gw = jnp.matmul(grad_pc, R_cw, precision=_PREC)  # dI/dp_w
+    Jv = gw
+    Jw = jnp.cross(p_w, gw)
+    J = jnp.concatenate([Jv, Jw], axis=-1)
+
+    mask = valid_src.reshape(-1) & in_img & (z > 0.0) & tvalid
+    m = mask.astype(jnp.float32)
+    Jm = J * m[:, None]
+    H6 = jnp.matmul(Jm.T, Jm, precision=_PREC)
+    b6 = -jnp.matmul(Jm.T, (r * m)[:, None], precision=_PREC)[:, 0]
+    return H6, b6, jnp.sum(m), jnp.sum(jnp.abs(r) * m)
+
+
+def solve_increment(H6: jnp.ndarray, b6: jnp.ndarray, cfg: IcpConfig) -> jnp.ndarray:
+    """Damped 6x6 solve; returns xi (6,). NaN-safe (falls back to zero)."""
+    damp = cfg.damping * jnp.maximum(jnp.diag(H6), 1.0)
+    xi = jnp.linalg.solve(H6 + jnp.diag(damp), b6)
+    return jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6, H6.dtype))
+
+
+def _subsample_maps(vertex_w, normal_w, valid, lvl):
+    """Nearest-subsample prediction maps to pyramid level `lvl`."""
+    if lvl == 0:
+        return vertex_w, normal_w, valid
+    s = 1 << lvl
+    return vertex_w[::s, ::s], normal_w[::s, ::s], valid[::s, ::s]
+
+
+def track(
+    src_pyramid,  # list over levels (fine->coarse) of preprocess dicts
+    pred_vertex_w: jnp.ndarray,  # full-res prediction maps (world frame)
+    pred_normal_w: jnp.ndarray,
+    pred_valid: jnp.ndarray,
+    T_init_wc: jnp.ndarray,
+    T_pred_wc: jnp.ndarray,  # pose the prediction was rendered from
+    intr: Intrinsics,
+    cfg: IcpConfig,
+    pred_intensity: jnp.ndarray | None = None,
+) -> TrackResult:
+    """Coarse-to-fine projective ICP against the predicted model view."""
+    T_pred_cw = se3_inverse(T_pred_wc)
+    T = T_init_wc
+    use_rgb = cfg.rgb_weight > 0.0 and pred_intensity is not None
+
+    inliers = jnp.zeros(())
+    res_mean = jnp.zeros(())
+    for lvl in range(cfg.levels - 1, -1, -1):  # coarse -> fine
+        src = src_pyramid[lvl]
+        intr_l = intr.level(lvl)
+        tv, tn, tval = _subsample_maps(pred_vertex_w, pred_normal_w, pred_valid, lvl)
+        if use_rgb:
+            ti = pred_intensity[:: 1 << lvl, :: 1 << lvl]
+
+        def body(_, carry):
+            T, _, _ = carry
+            H6, b6, nin, rsum = build_normal_equations(
+                src["vmap"], src["nmap"], src["valid"],
+                tv, tn, tval, T, T_pred_cw, intr_l, cfg,
+            )
+            if use_rgb:
+                Hr, br, _, _ = build_rgb_equations(
+                    src["vmap"], src["intensity"], src["valid"],
+                    ti, tval, T, T_pred_cw, intr_l, cfg,
+                )
+                # Scale the photometric system into metric units.
+                wr = cfg.rgb_weight
+                H6 = H6 + wr * Hr
+                b6 = b6 + wr * br
+            xi = solve_increment(H6, b6, cfg)
+            ok = nin >= cfg.min_valid
+            xi = jnp.where(ok, xi, jnp.zeros_like(xi))
+            T_new = jnp.matmul(se3_exp(xi), T, precision=_PREC)
+            return T_new, nin, rsum
+
+        T, inliers, res_sum = jax.lax.fori_loop(
+            0, cfg.iters[min(lvl, len(cfg.iters) - 1)],
+            body,
+            (T, jnp.zeros(()), jnp.zeros(())),
+        )
+        res_mean = res_sum / jnp.maximum(inliers, 1.0)
+
+    ok = (inliers >= cfg.min_valid) & jnp.all(jnp.isfinite(T))
+    T_out = jnp.where(ok, T, T_init_wc)
+    return TrackResult(T_wc=T_out, inliers=inliers, residual=res_mean, valid=ok)

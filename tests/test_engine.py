@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instancefusion_tpu.datasets import synthetic
+from instancefusion_tpu.engine import slam
+from instancefusion_tpu.utils.ate import ate_rmse, rpe_rmse
+from tests.helpers import SMALL_CFG, SMALL_INTR, SMALL_TSDF
+
+
+def test_engine_end_to_end_synthetic():
+    """Golden end-to-end (SURVEY §5): run the full engine on a synthetic
+    sweep and assert the tracked trajectory's ATE against ground truth."""
+    n = 20
+    poses_gt = synthetic.orbit_trajectory(n)
+    frames = [synthetic.render_frame(poses_gt[i], SMALL_INTR) for i in range(n)]
+
+    cfg = SMALL_CFG
+    state = slam.init_state(cfg, frames[0].T_wc)
+    est = []
+    infos = []
+    for f in frames:
+        state, info = slam.step(cfg, state, f.depth, f.color)
+        est.append(np.asarray(state.T_wc))
+        infos.append(info)
+
+    # Tracking engaged from frame 1 onward.
+    assert all(bool(i.track_ok) for i in infos)
+    assert float(infos[-1].inliers) > 1000
+
+    ate = ate_rmse(np.stack(est), np.asarray(poses_gt))
+    rpe = rpe_rmse(np.stack(est), np.asarray(poses_gt))
+    # Sub-voxel global accuracy on this short sweep (voxel = 4 cm).
+    assert ate < SMALL_TSDF.voxel_size, ate
+    assert rpe < 0.5 * SMALL_TSDF.voxel_size, rpe
+
+
+def test_engine_first_frame_bootstraps():
+    cfg = SMALL_CFG
+    f = synthetic.render_frame(synthetic.orbit_trajectory(3)[1], SMALL_INTR)
+    state = slam.init_state(cfg, f.T_wc)
+    state, info = slam.step(cfg, state, f.depth, f.color)
+    # Frame 0: no prediction yet -> tracking gate passes via bootstrap.
+    assert bool(info.track_ok)
+    assert float(info.fused_voxels) > 0
+    # Prediction now exists for frame 1.
+    assert bool(jnp.any(state.pred.valid))
+    assert int(state.frame_idx) == 1
+
+
+def test_engine_lost_tracking_counter():
+    cfg = SMALL_CFG
+    f = synthetic.render_frame(synthetic.orbit_trajectory(3)[1], SMALL_INTR)
+    state = slam.init_state(cfg, f.T_wc)
+    state, _ = slam.step(cfg, state, f.depth, f.color)
+    # Feed garbage (all-invalid depth): tracking must fail, pose must hold.
+    T_before = np.asarray(state.T_wc)
+    state, info = slam.step(cfg, state, jnp.zeros_like(f.depth), f.color)
+    assert not bool(info.track_ok)
+    assert int(state.lost_frames) == 1
+    np.testing.assert_allclose(np.asarray(state.T_wc), T_before)
