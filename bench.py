@@ -4,12 +4,17 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Runs the full per-frame pipeline (preprocess -> 3-level ICP -> TSDF
 integrate -> raycast prediction) on the real TPU chip over synthetic
-frames.  The baseline target is >= 30 fused frames/s/chip at 512^3
-(BASELINE.md); `vs_baseline` is value / 30.
+frames at 640x480 with a 512^3 block-hashed TSDF (the BASELINE headline
+configuration; >= 30 fused frames/s/chip is the target).
 
-Current configuration: dense TSDF engine. The grid defaults to the largest
-dense setting that exercises the 512^3-class workload; override with
-BENCH_GRID / BENCH_FRAMES env vars.
+Timing is fetch-synced: this box's axon relay completes
+`jax.block_until_ready` before device execution finishes, so the timed
+region ends with a scalar `device_get` that cannot resolve until every
+chained step has executed.  Steps are chained (state feeds state) so no
+step can be elided or overlapped out of the measurement.
+
+Env overrides: BENCH_GRID (512), BENCH_FRAMES (30), BENCH_MAP
+(blocks|dense).
 """
 
 from __future__ import annotations
@@ -22,7 +27,6 @@ import time
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from instancefusion_tpu.config import (
         EngineConfig,
@@ -37,6 +41,7 @@ def main() -> None:
 
     grid = int(os.environ.get("BENCH_GRID", "512"))
     nframes = int(os.environ.get("BENCH_FRAMES", "30"))
+    map_kind = os.environ.get("BENCH_MAP", "blocks")
     warmup = 3
 
     extent = grid * 0.0075  # keep the synthetic room inside the volume
@@ -47,11 +52,13 @@ def main() -> None:
             trunc=6 * extent / grid * 2,
             grid_size=grid,
             origin=(-extent, -extent, 1.2 - extent),
+            block_size=8,
+            table_capacity=65536,
         ),
         icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0),
         raycast=RaycastConfig(near=0.2, far=4.0),
         preprocess=PreprocessConfig(),
-        map_kind="dense",
+        map_kind=map_kind,
         use_color=True,
     )
 
@@ -61,24 +68,27 @@ def main() -> None:
         synthetic.render_frame(poses[i], cfg.intrinsics)
         for i in range(nframes + warmup)
     ]
-    jax.block_until_ready(frames[-1].depth)
+
+    def sync(state) -> float:
+        # Scalar fetch forces execution of the whole dependency chain.
+        return float(jnp.sum(state.T_wc))
 
     state = slam.init_state(cfg, poses[0])
     for i in range(warmup):
         state, info = slam.step(cfg, state, frames[i].depth, frames[i].color)
-    jax.block_until_ready(state.volume.sdf)
+    sync(state)
 
     t0 = time.perf_counter()
     for i in range(warmup, warmup + nframes):
         state, info = slam.step(cfg, state, frames[i].depth, frames[i].color)
-    jax.block_until_ready(state.volume.sdf)
+    sync(state)
     dt = time.perf_counter() - t0
 
     fps = nframes / dt
     print(
         json.dumps(
             {
-                "metric": f"fused_frames_per_s_per_chip_{grid}cubed",
+                "metric": f"fused_frames_per_s_per_chip_{grid}cubed_{map_kind}",
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),

@@ -27,16 +27,35 @@ import jax
 import jax.numpy as jnp
 
 from instancefusion_tpu.config import EngineConfig
-from instancefusion_tpu.ops import icp, preprocess, raycast as rc, tsdf
+from instancefusion_tpu.engine import instances as inst
+from instancefusion_tpu.models.segmentation import Segmentation
+from instancefusion_tpu.ops import blocks, icp, labels, preprocess, raycast as rc, tsdf
+
+
+class _DenseOps:
+    """Dense-volume map interface (config 1)."""
+
+    allocate = staticmethod(tsdf.allocate)
+    integrate = staticmethod(tsdf.integrate)
+    raycast = staticmethod(rc.raycast)
+
+
+def _map_ops(cfg: EngineConfig):
+    """Map-kind dispatch: dense volume (config 1) vs sparse block table."""
+    return blocks if cfg.map_kind == "blocks" else _DenseOps
 
 
 class SlamState(NamedTuple):
     T_wc: jnp.ndarray  # (4,4) current camera-to-world pose
-    volume: tsdf.TsdfVolume
+    volume: tsdf.TsdfVolume | blocks.BlockMap
     pred: rc.RaycastMaps  # model prediction rendered at pred_T_wc
     pred_T_wc: jnp.ndarray  # (4,4) pose the prediction was rendered from
     frame_idx: jnp.ndarray  # () i32
     lost_frames: jnp.ndarray  # () i32 — consecutive tracking failures
+    # Instance subsystem (None unless cfg.use_instances; None is an empty
+    # pytree node, so the no-instance jit signature is unchanged).
+    votes: labels.LabelVotes | None = None
+    table: inst.InstanceTable | None = None
 
 
 class StepInfo(NamedTuple):
@@ -49,7 +68,7 @@ class StepInfo(NamedTuple):
 def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamState:
     intr = cfg.intrinsics
     h, w = intr.height, intr.width
-    volume = tsdf.allocate(cfg.tsdf, with_color=cfg.use_color)
+    volume = _map_ops(cfg).allocate(cfg.tsdf, with_color=cfg.use_color)
     pred = rc.RaycastMaps(
         vertex_w=jnp.zeros((h, w, 3), jnp.float32),
         normal_w=jnp.zeros((h, w, 3), jnp.float32),
@@ -58,6 +77,12 @@ def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamS
         valid=jnp.zeros((h, w), bool),
     )
     T0 = jnp.eye(4, dtype=jnp.float32) if T_init_wc is None else T_init_wc
+    votes = table = None
+    if cfg.use_instances:
+        if cfg.map_kind != "blocks":
+            raise ValueError("instance fusion requires map_kind='blocks'")
+        votes = labels.allocate(cfg.tsdf)
+        table = inst.allocate(cfg.instances)
     return SlamState(
         T_wc=T0,
         volume=volume,
@@ -65,6 +90,8 @@ def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamS
         pred_T_wc=T0,
         frame_idx=jnp.zeros((), jnp.int32),
         lost_frames=jnp.zeros((), jnp.int32),
+        votes=votes,
+        table=table,
     )
 
 
@@ -112,7 +139,8 @@ def step(
         jnp.zeros((), jnp.float32),
     )
     depth_masked = jnp.where(fuse_ok, d0, jnp.zeros_like(d0))
-    volume = tsdf.integrate(
+    ops = _map_ops(cfg)
+    volume = ops.integrate(
         state.volume,
         depth_masked,
         color if cfg.use_color else None,
@@ -121,11 +149,11 @@ def step(
         cfg.tsdf,
     )
 
-    pred = rc.raycast(
+    pred = ops.raycast(
         volume, T_new, intr, cfg.tsdf, cfg.raycast, with_color=cfg.use_color
     )
 
-    new_state = SlamState(
+    new_state = state._replace(
         T_wc=T_new,
         volume=volume,
         pred=pred,
@@ -142,6 +170,54 @@ def step(
         fused_voxels=fused,
     )
     return new_state, info
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def step_seg(
+    cfg: EngineConfig,
+    state: SlamState,
+    depth: jnp.ndarray,
+    color: jnp.ndarray,
+    seg: Segmentation,
+) -> tuple[SlamState, StepInfo]:
+    """`step` + instance fusion for frames that carry a segmentation.
+
+    The reference runs Mask R-CNN asynchronously and applies its masks on
+    arrival (SURVEY.md §4.5); here the host driver decides which frames
+    carry a `Segmentation` (from the JAX head or an external source) and
+    calls this entry instead of `step`.  Pipeline per seg frame:
+
+    1. normal track -> fuse -> predict,
+    2. mask-edge refinement against depth discontinuities,
+    3. predicted instance-id map sampled at raycast hit points,
+    4. mask <-> model association (IoU on the MXU) + table update,
+    5. Boyer-Moore label voting into band voxels of touched blocks.
+    """
+    assert cfg.use_instances, "step_seg requires cfg.use_instances"
+    new_state, info = step(cfg, state, depth, color)
+
+    mask_id = labels.refine_mask_edges(seg.mask_id, depth)
+    seg = seg._replace(mask_id=mask_id)
+
+    pred_gid = labels.sample_nearest(
+        new_state.votes,
+        new_state.volume,
+        new_state.pred.vertex_w,
+        new_state.pred.valid,
+        cfg.tsdf,
+    )
+    gid_image, table = inst.associate(new_state.table, seg, pred_gid, cfg.instances)
+    depth_gated = jnp.where(info.track_ok, depth, jnp.zeros_like(depth))
+    votes = labels.fuse(
+        new_state.votes,
+        new_state.volume,
+        gid_image,
+        depth_gated,
+        new_state.T_wc,
+        cfg.intrinsics,
+        cfg.tsdf,
+    )
+    return new_state._replace(votes=votes, table=table), info
 
 
 def tsdf_integrate_count(depth: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,175 @@
+"""JAX instance-segmentation head (Panoptic-DeepLab-style, TPU-first).
+
+Replaces the reference's asynchronous TensorFlow Mask R-CNN bridge
+(expected `MaskRCNN/` + C++ glue — SURVEY.md §3 "Instance segmentation
+net", §4.5).  Mask R-CNN's proposal/NMS pipeline is dynamic-shaped and
+hostile to XLA; the TPU-native design is a dense-prediction network whose
+entire forward + instance grouping is static-shaped:
+
+- ConvNet encoder/decoder (strided convs + GroupNorm + GELU, skip
+  connections) -> per-pixel **semantic logits**, an instance **center
+  heatmap**, and **center offsets** (Panoptic-DeepLab decomposition).
+- Instance extraction: max-pool NMS on the heatmap, `top_k` centers
+  (static K), every foreground pixel votes for its nearest predicted
+  center — one (HW, K) distance argmin, no loops, no dynamic shapes.
+- Class per instance by a one-hot matmul histogram (MXU).
+
+The network is params-pluggable (train elsewhere, load via orbax); the
+engine also accepts externally produced masks (e.g. ground truth or an
+offline model) through the same `Segmentation` record, which is what the
+synthetic end-to-end tests use.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Segmentation(NamedTuple):
+    """Per-frame instance segmentation in network/table-agnostic form."""
+
+    mask_id: jnp.ndarray  # i32[H,W] — per-pixel instance index in [0,K), -1 = none
+    classes: jnp.ndarray  # i32[K] — semantic class per instance (0 = background)
+    scores: jnp.ndarray  # f32[K] — center confidence
+    valid: jnp.ndarray  # bool[K] — instance slot populated
+
+
+class _ConvBlock(nn.Module):
+    ch: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride))(x)
+        x = nn.GroupNorm(num_groups=min(8, self.ch))(x)
+        return nn.gelu(x)
+
+
+class PanopticHead(nn.Module):
+    """Encoder/decoder with semantic + center + offset outputs.
+
+    Channels are deliberately modest (the reference runs Mask R-CNN every
+    k frames on a desktop GPU; this head is sized to run per-keyframe on
+    one chip alongside tracking/fusion).
+    """
+
+    num_classes: int = 41
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, rgb):  # f32[H,W,3] in [0,1] (or [B,H,W,3])
+        batched = rgb.ndim == 4
+        x = rgb if batched else rgb[None]
+        w = self.width
+        e1 = _ConvBlock(w)(x)  # H
+        e2 = _ConvBlock(w * 2, stride=2)(e1)  # H/2
+        e3 = _ConvBlock(w * 4, stride=2)(e2)  # H/4
+        e4 = _ConvBlock(w * 8, stride=2)(e3)  # H/8
+        m = _ConvBlock(w * 8)(e4)
+
+        def up(x, skip, ch):
+            x = jax.image.resize(
+                x, (x.shape[0], skip.shape[1], skip.shape[2], x.shape[3]), "bilinear"
+            )
+            x = jnp.concatenate([x, skip], axis=-1)
+            return _ConvBlock(ch)(x)
+
+        d3 = up(m, e3, w * 4)
+        d2 = up(d3, e2, w * 2)
+        d1 = up(d2, e1, w)
+
+        sem = nn.Conv(self.num_classes, (1, 1))(d1)
+        center = nn.Conv(1, (1, 1))(d1)[..., 0]
+        offset = nn.Conv(2, (1, 1))(d1)
+        if not batched:
+            sem, center, offset = sem[0], center[0], offset[0]
+        return sem, center, offset
+
+
+def extract_instances(
+    sem_logits: jnp.ndarray,  # f32[H,W,C]
+    center_heat: jnp.ndarray,  # f32[H,W] (pre-sigmoid)
+    offsets: jnp.ndarray,  # f32[H,W,2] (dy, dx) to the instance center
+    max_instances: int,
+    center_thresh: float = 0.0,
+    nms_window: int = 7,
+) -> Segmentation:
+    """Static-shaped grouping of dense predictions into K instance masks.
+
+    All steps are XLA-friendly: max-pool NMS, `top_k`, one (HW, K) argmin,
+    one-hot histogram matmul.  Pixels whose semantic argmax is background
+    (class 0) get mask_id -1.
+    """
+    h, w = center_heat.shape
+    k = max_instances
+
+    # 1. Center NMS: a peak is a pixel equal to its neighborhood max.
+    pooled = jax.lax.reduce_window(
+        center_heat,
+        -jnp.inf,
+        jax.lax.max,
+        (nms_window, nms_window),
+        (1, 1),
+        "SAME",
+    )
+    is_peak = (center_heat >= pooled) & (center_heat > center_thresh)
+    peak_score = jnp.where(is_peak, center_heat, -jnp.inf).reshape(-1)
+    scores, peak_idx = jax.lax.top_k(peak_score, k)
+    valid = jnp.isfinite(scores)
+    cy = (peak_idx // w).astype(jnp.float32)
+    cx = (peak_idx % w).astype(jnp.float32)
+
+    # 2. Pixel -> center voting: each pixel's predicted center position.
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    py = (yy + offsets[..., 0]).reshape(-1)  # (HW,)
+    px = (xx + offsets[..., 1]).reshape(-1)
+    d2 = (py[:, None] - cy[None, :]) ** 2 + (px[:, None] - cx[None, :]) ** 2
+    d2 = jnp.where(valid[None, :], d2, jnp.inf)
+    assign = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (HW,)
+    any_valid = jnp.any(valid)
+
+    sem_cls = jnp.argmax(sem_logits, axis=-1).astype(jnp.int32)  # (H,W)
+    fg = (sem_cls > 0).reshape(-1) & any_valid
+    mask_id = jnp.where(fg, assign, -1).reshape(h, w)
+
+    # 3. Class per instance: histogram of semantic classes over each mask
+    # as a one-hot matmul (constant tables would poison this runtime's
+    # gather path; one-hots ride the MXU instead).
+    c = sem_logits.shape[-1]
+    onehot_inst = jax.nn.one_hot(
+        jnp.where(fg, assign, k), k + 1, dtype=jnp.float32
+    )  # (HW, K+1)
+    onehot_cls = jax.nn.one_hot(sem_cls.reshape(-1), c, dtype=jnp.float32)
+    hist = jnp.einsum(
+        "pk,pc->kc", onehot_inst[:, :k], onehot_cls
+    )  # (K, C) pixel counts
+    classes = jnp.argmax(hist[:, 1:], axis=-1).astype(jnp.int32) + 1
+    pixels = jnp.sum(hist[:, 1:], axis=-1)
+    valid = valid & (pixels > 0)
+    classes = jnp.where(valid, classes, 0)
+    return Segmentation(
+        mask_id=mask_id,
+        classes=classes,
+        scores=jnp.where(valid, scores, 0.0),
+        valid=valid,
+    )
+
+
+def segment(
+    params, rgb: jnp.ndarray, num_classes: int, max_instances: int, width: int = 32
+) -> Segmentation:
+    """Full forward + grouping for one frame (jit-able)."""
+    model = PanopticHead(num_classes=num_classes, width=width)
+    sem, center, offset = model.apply(params, rgb)
+    return extract_instances(sem, center, offset, max_instances)
+
+
+def init_params(rng, height: int, width_px: int, num_classes: int, width: int = 32):
+    model = PanopticHead(num_classes=num_classes, width=width)
+    dummy = jnp.zeros((height, width_px, 3), jnp.float32)
+    return model.init(rng, dummy)

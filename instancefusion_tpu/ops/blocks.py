@@ -1,0 +1,441 @@
+"""Sparse voxel-block TSDF map: directory + packed block payloads.
+
+TPU-native replacement for GPU voxel hashing (the BASELINE contract maps
+the reference's dense-map storage to "sharded block tables" — SURVEY.md §3
+"Voxel hashing").  The classic CUDA design (Niessner-style bucketed hash
+with pointers and atomics) is hostile to XLA: dynamic shapes, pointer
+chasing, link lists.  The TPU-first design here:
+
+- **Dense block directory** ``i32[Nb, Nb, Nb]``: block coordinate ->
+  payload slot (or -1).  At 512^3 with 8^3 blocks this is 64^3 int32 =
+  1 MB — cheaper than any hash table and O(1) lookup by a plain gather
+  *from an argument* (constant-operand gathers poison this runtime).
+- **Packed payloads** ``f32[capacity, 512]``: one row per live block,
+  voxels flattened so the last dim is 512 = 4x128 lanes (VPU-aligned).
+- **Allocation by prefix sum**: touched-block mask -> cumsum assigns new
+  slots in one pass; no atomics, no CAS loops, deterministic.
+- **Per-frame work is compacted**: only the ≤ K blocks touched by the
+  current frame's truncation band are gathered, updated, scattered back
+  (`K` static; overflow counted, never UB).
+
+All shapes static; everything jit-safe; payload arrays shard over the
+slot axis for multi-device maps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instancefusion_tpu.config import TsdfConfig
+from instancefusion_tpu.geometry.camera import Intrinsics, project, ray_directions
+from instancefusion_tpu.geometry.se3 import se3_inverse, transform_points
+
+
+class BlockMap(NamedTuple):
+    """Sparse TSDF volume as a block table (see module docstring)."""
+
+    directory: jnp.ndarray  # i32[Nb,Nb,Nb] block coord -> slot, -1 = empty
+    block_coords: jnp.ndarray  # i32[C,3] slot -> block coord (-1 = free)
+    n_active: jnp.ndarray  # () i32 — number of live slots
+    overflow: jnp.ndarray  # () i32 — blocks dropped due to capacity
+    sdf: jnp.ndarray  # f32[C, B^3] normalized to [-1,1]
+    weight: jnp.ndarray  # f32[C, B^3]
+    color: jnp.ndarray  # f32[C, B^3, 3] (or [C, 0, 3] when disabled)
+
+
+def num_blocks_per_axis(cfg: TsdfConfig) -> int:
+    assert cfg.grid_size % cfg.block_size == 0
+    return cfg.grid_size // cfg.block_size
+
+
+def allocate(cfg: TsdfConfig, with_color: bool = True) -> BlockMap:
+    nb = num_blocks_per_axis(cfg)
+    c = cfg.table_capacity
+    b3 = cfg.block_size**3
+    return BlockMap(
+        directory=jnp.full((nb, nb, nb), -1, jnp.int32),
+        block_coords=jnp.full((c, 3), -1, jnp.int32),
+        n_active=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+        sdf=jnp.ones((c, b3), jnp.float32),
+        weight=jnp.zeros((c, b3), jnp.float32),
+        color=jnp.zeros((c, b3 if with_color else 0, 3), jnp.float32),
+    )
+
+
+def _local_offsets(cfg: TsdfConfig, dtype=jnp.int32) -> jnp.ndarray:
+    """Voxel offsets within a block, (B^3, 3), iota-derived (no const table)."""
+    b = cfg.block_size
+    idx = jax.lax.broadcasted_iota(dtype, (b * b * b, 1), 0)[:, 0]
+    ix = idx // (b * b)
+    iy = (idx // b) % b
+    iz = idx % b
+    return jnp.stack([ix, iy, iz], axis=-1)
+
+
+def touched_blocks_mask(
+    depth: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    samples: int = 5,
+) -> jnp.ndarray:
+    """Blocks intersected by this frame's truncation band: bool[Nb^3].
+
+    Samples each pixel's ray at `samples` z-offsets spanning
+    [-trunc-voxel, +trunc+voxel] around the measured depth and marks the
+    containing block.  Dense rays (HW of them) make sparse along-ray
+    sampling sufficient — the band is ~2 blocks thick.
+    """
+    nb = num_blocks_per_axis(cfg)
+    rays = ray_directions(intr)  # (H,W,3) unit-z
+    R = T_wc[:3, :3]
+    o = T_wc[:3, 3]
+    dirs_w = rays.reshape(-1, 3) @ R.T  # unit-z dirs in world
+    valid = (depth > 0.0).reshape(-1)
+    d = depth.reshape(-1)
+
+    band = cfg.trunc + cfg.voxel_size
+    offs = jnp.linspace(-band, band, samples)
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    bsz = cfg.block_size * cfg.voxel_size
+
+    mask = jnp.zeros((nb * nb * nb,), jnp.int32)
+    for i in range(samples):
+        p = o[None, :] + dirs_w * (d + offs[i])[:, None]
+        g = jnp.floor((p - origin) / bsz).astype(jnp.int32)
+        inb = jnp.all((g >= 0) & (g < nb), axis=-1) & valid
+        flat = (g[:, 0] * nb + g[:, 1]) * nb + g[:, 2]
+        flat = jnp.where(inb, flat, nb * nb * nb)  # OOB -> dropped
+        mask = mask.at[flat].max(1, mode="drop")
+    return mask.astype(bool)
+
+
+def allocate_touched(bm: BlockMap, touched: jnp.ndarray, cfg: TsdfConfig) -> BlockMap:
+    """Assign payload slots to touched-but-unallocated blocks (prefix sum).
+
+    Replaces the reference pattern of atomic-CAS hash insertion with a
+    deterministic cumsum over the (small) directory.  Blocks beyond
+    capacity are dropped and counted in `overflow`.
+    """
+    nb = num_blocks_per_axis(cfg)
+    c = cfg.table_capacity
+    dir_flat = bm.directory.reshape(-1)
+    need = touched & (dir_flat < 0)
+    order = jnp.cumsum(need.astype(jnp.int32)) - 1  # rank among new blocks
+    new_slot = bm.n_active + order
+    fits = need & (new_slot < c)
+    n_new = jnp.sum(fits.astype(jnp.int32))
+    n_drop = jnp.sum(need.astype(jnp.int32)) - n_new
+
+    dir_new = jnp.where(fits, new_slot, dir_flat).astype(jnp.int32)
+
+    # Write slot -> block coord for the new slots.
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
+    coords = jnp.stack([idx // (nb * nb), (idx // nb) % nb, idx % nb], axis=-1)
+    scatter_slot = jnp.where(fits, new_slot, c)  # OOB -> dropped
+    block_coords = bm.block_coords.at[scatter_slot].set(coords, mode="drop")
+
+    return bm._replace(
+        directory=dir_new.reshape(bm.directory.shape),
+        block_coords=block_coords,
+        n_active=bm.n_active + n_new,
+        overflow=bm.overflow + n_drop,
+    )
+
+
+def compact_touched_slots(
+    bm: BlockMap, touched: jnp.ndarray, cfg: TsdfConfig, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-size list of payload slots to update this frame.
+
+    Returns (slots i32[k], valid bool[k]).  `top_k` over the directory-
+    sized 0/1 mask compacts the touched set; beyond-k blocks are skipped
+    this frame (counted by the caller via sum(touched) vs k).
+    """
+    tmask = touched.astype(jnp.int32)
+    vals, idx = jax.lax.top_k(tmask, k)
+    slots = bm.directory.reshape(-1)[idx]
+    valid = (vals > 0) & (slots >= 0)
+    return jnp.where(valid, slots, 0), valid
+
+
+def integrate(
+    bm: BlockMap,
+    depth: jnp.ndarray,
+    color: jnp.ndarray | None,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    max_touched: int = 8192,
+) -> BlockMap:
+    """Fuse one frame: allocate band blocks, update only those blocks.
+
+    Identical math to the dense `tsdf.integrate` (its golden test target),
+    but touches `max_touched * B^3` voxels instead of `grid_size^3`.
+    """
+    touched = touched_blocks_mask(depth, T_wc, intr, cfg)
+    bm = allocate_touched(bm, touched, cfg)
+    nb3 = num_blocks_per_axis(cfg) ** 3
+    slots, valid = compact_touched_slots(bm, touched, cfg, min(max_touched, nb3))
+
+    b3 = cfg.block_size**3
+    coords = bm.block_coords[slots]  # (K,3)
+    local = _local_offsets(cfg)  # (B^3,3)
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    vox_idx = coords[:, None, :] * cfg.block_size + local[None, :, :]  # (K,B^3,3)
+    p_w = origin + (vox_idx.astype(jnp.float32) + 0.5) * cfg.voxel_size
+
+    T_cw = se3_inverse(T_wc)
+    p_c = transform_points(T_cw, p_w.reshape(-1, 3)).reshape(p_w.shape)
+    u, v, z = project(intr, p_c)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
+    uic = jnp.clip(ui, 0, intr.width - 1)
+    vic = jnp.clip(vi, 0, intr.height - 1)
+    d = depth[vic, uic]
+    sdf_obs = d - z
+    ok = in_img & (z > 0.0) & (d > 0.0) & (sdf_obs > -cfg.trunc) & valid[:, None]
+    psi = jnp.clip(sdf_obs / cfg.trunc, -1.0, 1.0)
+    w_obs = jnp.where(ok, 1.0, 0.0)
+
+    sdf_old = bm.sdf[slots]
+    w_old = bm.weight[slots]
+    w_new = w_old + w_obs
+    denom = jnp.maximum(w_new, 1e-6)
+    sdf_new = (sdf_old * w_old + psi * w_obs) / denom
+    w_new = jnp.minimum(w_new, cfg.max_weight)
+
+    out_slots = jnp.where(valid, slots, bm.sdf.shape[0])  # OOB -> dropped
+    new_sdf = bm.sdf.at[out_slots].set(sdf_new, mode="drop")
+    new_w = bm.weight.at[out_slots].set(w_new, mode="drop")
+
+    new_color = bm.color
+    if color is not None and bm.color.size:
+        c_old = bm.color[slots]
+        c_obs = color[vic, uic]
+        c_new = (c_old * w_old[..., None] + c_obs * w_obs[..., None]) / denom[..., None]
+        new_color = bm.color.at[out_slots].set(c_new, mode="drop")
+
+    return bm._replace(sdf=new_sdf, weight=new_w, color=new_color)
+
+
+def sample_trilinear(
+    bm: BlockMap, p_w: jnp.ndarray, cfg: TsdfConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Trilinear SDF sample at world points (..., 3) across block borders.
+
+    Matches `tsdf.sample_trilinear` semantics on allocated space: valid
+    requires all 8 stencil corners to live in allocated blocks with
+    weight > 0.  One directory gather + one payload gather per corner.
+    """
+    nb = num_blocks_per_axis(cfg)
+    b = cfg.block_size
+    b3 = b * b * b
+    n = cfg.grid_size
+    g = (p_w - jnp.asarray(cfg.origin, p_w.dtype)) / cfg.voxel_size - 0.5
+    g0 = jnp.floor(g)
+    frac = g - g0
+    g0i = g0.astype(jnp.int32)
+    inb = jnp.all((g0i >= 0) & (g0i < n - 1), axis=-1)
+    g0c = jnp.clip(g0i, 0, n - 2)
+
+    dir_flat = bm.directory.reshape(-1)
+    sdf_flat = bm.sdf.reshape(-1)
+    w_flat = bm.weight.reshape(-1)
+
+    val = jnp.zeros(p_w.shape[:-1], p_w.dtype)
+    wmin = jnp.full(p_w.shape[:-1], jnp.inf, p_w.dtype)
+    alloc = jnp.ones(p_w.shape[:-1], bool)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                vi = g0c + jnp.array([di, dj, dk], jnp.int32)
+                blk = vi // b
+                loc = vi - blk * b
+                bflat = (blk[..., 0] * nb + blk[..., 1]) * nb + blk[..., 2]
+                slot = dir_flat[bflat]
+                have = slot >= 0
+                slot_c = jnp.maximum(slot, 0)
+                lflat = (loc[..., 0] * b + loc[..., 1]) * b + loc[..., 2]
+                vidx = slot_c * b3 + lflat
+                s = sdf_flat[vidx]
+                w = jnp.where(have, w_flat[vidx], 0.0)
+                tw = (
+                    (frac[..., 0] if di else 1.0 - frac[..., 0])
+                    * (frac[..., 1] if dj else 1.0 - frac[..., 1])
+                    * (frac[..., 2] if dk else 1.0 - frac[..., 2])
+                )
+                val = val + tw * jnp.where(have, s, 1.0)
+                wmin = jnp.minimum(wmin, w)
+                alloc = alloc & have
+    valid = inb & alloc & (wmin > 0.0)
+    return val, valid
+
+
+def sample_color_trilinear(
+    bm: BlockMap, p_w: jnp.ndarray, cfg: TsdfConfig
+) -> jnp.ndarray:
+    nb = num_blocks_per_axis(cfg)
+    b = cfg.block_size
+    b3 = b * b * b
+    n = cfg.grid_size
+    g = (p_w - jnp.asarray(cfg.origin, p_w.dtype)) / cfg.voxel_size - 0.5
+    g0 = jnp.floor(g)
+    frac = g - g0
+    g0c = jnp.clip(g0.astype(jnp.int32), 0, n - 2)
+    dir_flat = bm.directory.reshape(-1)
+    col_flat = bm.color.reshape(-1, 3)
+    val = jnp.zeros(p_w.shape[:-1] + (3,), p_w.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                vi = g0c + jnp.array([di, dj, dk], jnp.int32)
+                blk = vi // b
+                loc = vi - blk * b
+                bflat = (blk[..., 0] * nb + blk[..., 1]) * nb + blk[..., 2]
+                slot = dir_flat[bflat]
+                have = slot >= 0
+                slot_c = jnp.maximum(slot, 0)
+                lflat = (loc[..., 0] * b + loc[..., 1]) * b + loc[..., 2]
+                c = col_flat[slot_c * b3 + lflat]
+                tw = (
+                    (frac[..., 0] if di else 1.0 - frac[..., 0])
+                    * (frac[..., 1] if dj else 1.0 - frac[..., 1])
+                    * (frac[..., 2] if dk else 1.0 - frac[..., 2])
+                )
+                val = val + (tw * have)[..., None] * c
+    return val
+
+
+def occupancy_at(bm: BlockMap, p_w: jnp.ndarray, cfg: TsdfConfig) -> jnp.ndarray:
+    """Is the block containing each point allocated?  bool(...)."""
+    nb = num_blocks_per_axis(cfg)
+    bsz = cfg.block_size * cfg.voxel_size
+    g = jnp.floor((p_w - jnp.asarray(cfg.origin, p_w.dtype)) / bsz).astype(jnp.int32)
+    inb = jnp.all((g >= 0) & (g < nb), axis=-1)
+    gc = jnp.clip(g, 0, nb - 1)
+    flat = (gc[..., 0] * nb + gc[..., 1]) * nb + gc[..., 2]
+    return inb & (bm.directory.reshape(-1)[flat] >= 0)
+
+
+def sdf_gradient(
+    bm: BlockMap, p_w: jnp.ndarray, cfg: TsdfConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference SDF gradient over the block map (surface normals)."""
+    h = cfg.voxel_size
+    grads = []
+    valid = None
+    for axis in range(3):
+        e = jnp.zeros(3, p_w.dtype).at[axis].set(h)
+        sp, vp = sample_trilinear(bm, p_w + e, cfg)
+        sm, vm = sample_trilinear(bm, p_w - e, cfg)
+        grads.append(sp - sm)
+        v = vp & vm
+        valid = v if valid is None else (valid & v)
+    g = jnp.stack(grads, axis=-1)
+    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    nrm = g / jnp.maximum(norm, 1e-12)
+    return nrm, valid & (norm[..., 0] > 1e-12)
+
+
+def raycast(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    tsdf_cfg: TsdfConfig,
+    cfg,  # RaycastConfig
+    with_color: bool = True,
+):
+    """Two-speed ray march with empty-space skipping over the directory.
+
+    The dense raycaster marches at a fixed fine step; here each iteration
+    first checks the block directory at the current point: unallocated ->
+    jump nearly a whole block, allocated -> fine step + trilinear sample +
+    zero-crossing test.  A fixed iteration budget keeps shapes static; the
+    skip rate makes the budget cover the whole [near, far] range.
+
+    Returns the same RaycastMaps as the dense version (the engine is
+    agnostic to the map kind).
+    """
+    from instancefusion_tpu.ops.raycast import RaycastMaps
+
+    rays_c = ray_directions(intr)
+    ray_norm = jnp.linalg.norm(rays_c, axis=-1)
+    R = T_wc[:3, :3]
+    origin_w = T_wc[:3, 3]
+    dirs_w = (rays_c.reshape(-1, 3) @ R.T).reshape(rays_c.shape)
+    dirs_w = dirs_w / jnp.maximum(ray_norm[..., None], 1e-12)
+
+    fine = cfg.step_scale * tsdf_cfg.trunc
+    skip = 0.9 * tsdf_cfg.block_size * tsdf_cfg.voxel_size
+    # Budget: enough fine steps to cross the in-band distance plus skips
+    # across the whole range. Worst case all-fine is bounded by max_steps.
+    max_steps = int((cfg.far - cfg.near) / fine) + 1
+
+    h, w = intr.height, intr.width
+    shape = (h, w)
+
+    def point_at(t):
+        return origin_w + t[..., None] * dirs_w
+
+    def body(_, carry):
+        t, prev_sdf, prev_valid, t_lo, t_hi, s_lo, s_hi, found = carry
+        p = point_at(t)
+        occ = occupancy_at(bm, p, tsdf_cfg)
+        do_fine = occ & jnp.logical_not(found)
+        s, v = sample_trilinear(bm, p, tsdf_cfg)
+        crossing = prev_valid & v & (prev_sdf > 0.0) & (s <= 0.0) & do_fine
+        t_lo = jnp.where(crossing, t - fine, t_lo)
+        t_hi = jnp.where(crossing, t, t_hi)
+        s_lo = jnp.where(crossing, prev_sdf, s_lo)
+        s_hi = jnp.where(crossing, s, s_hi)
+        found = found | crossing
+        dt = jnp.where(found, 0.0, jnp.where(occ, fine, skip))
+        t_next = jnp.minimum(t + dt, cfg.far)
+        return t_next, s, v & occ, t_lo, t_hi, s_lo, s_hi, found
+
+    init = (
+        jnp.full(shape, cfg.near),
+        jnp.zeros(shape),
+        jnp.zeros(shape, bool),
+        jnp.zeros(shape),
+        jnp.zeros(shape),
+        jnp.zeros(shape),
+        jnp.zeros(shape),
+        jnp.zeros(shape, bool),
+    )
+    _, _, _, t_lo, t_hi, s_lo, s_hi, found = jax.lax.fori_loop(
+        0, max_steps, body, init
+    )
+
+    denom = jnp.maximum(s_lo - s_hi, 1e-12)
+    t_star = t_lo + (t_hi - t_lo) * s_lo / denom
+
+    def refine(_, t_cur):
+        s, v = sample_trilinear(bm, point_at(t_cur), tsdf_cfg)
+        t_next = t_cur + jnp.where(v, s * tsdf_cfg.trunc, 0.0)
+        return jnp.clip(t_next, t_lo, t_hi)
+
+    t_star = jax.lax.fori_loop(0, cfg.refine_steps, refine, t_star)
+
+    p_hit = point_at(t_star)
+    normal_w, nvalid = sdf_gradient(bm, p_hit, tsdf_cfg)
+    valid = found & nvalid
+    depth = jnp.where(valid, t_star / ray_norm, 0.0)
+    if with_color and bm.color.size:
+        color = sample_color_trilinear(bm, p_hit, tsdf_cfg)
+    else:
+        color = jnp.zeros((h, w, 3), jnp.float32)
+    zero3 = jnp.zeros_like(p_hit)
+    return RaycastMaps(
+        vertex_w=jnp.where(valid[..., None], p_hit, zero3),
+        normal_w=jnp.where(valid[..., None], normal_w, zero3),
+        depth=depth,
+        color=jnp.where(valid[..., None], color, 0.0),
+        valid=valid,
+    )

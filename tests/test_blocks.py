@@ -1,0 +1,175 @@
+"""Block-sparse TSDF map vs the dense golden reference (SURVEY §5).
+
+The block map must agree with `ops/tsdf.py` on allocated space: same
+integration math, same trilinear samples, same raycast surfaces; plus the
+sparse-only behaviors (allocation, capacity overflow, empty-space skip).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from instancefusion_tpu.config import RaycastConfig, TsdfConfig
+from instancefusion_tpu.datasets import synthetic
+from instancefusion_tpu.ops import blocks, raycast as rc_dense, tsdf
+from tests.helpers import SMALL_INTR
+
+CFG = TsdfConfig(
+    voxel_size=0.04,
+    trunc=0.12,
+    grid_size=96,
+    origin=(-1.92, -1.92, -0.4),
+    block_size=8,
+    table_capacity=1728,  # 12^3 = full grid fits: no overflow in goldens
+)
+RC = RaycastConfig(near=0.2, far=4.0)
+
+
+def _frame():
+    T = synthetic.orbit_trajectory(3)[1]
+    return synthetic.render_frame(T, SMALL_INTR)
+
+
+def _integrate_both(n_frames=1):
+    poses = synthetic.orbit_trajectory(max(n_frames, 2))
+    dense = tsdf.allocate(CFG)
+    bm = blocks.allocate(CFG)
+    for i in range(n_frames):
+        f = synthetic.render_frame(poses[i], SMALL_INTR)
+        dense = tsdf.integrate(dense, f.depth, f.color, f.T_wc, SMALL_INTR, CFG)
+        bm = blocks.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, CFG)
+    return dense, bm, poses
+
+
+def _dense_of_blocks(bm):
+    """Expand the block map to a dense volume for whole-grid comparison."""
+    n = CFG.grid_size
+    b = CFG.block_size
+    nb = n // b
+    sdf = np.ones((n, n, n), np.float32)
+    w = np.zeros((n, n, n), np.float32)
+    directory = np.asarray(bm.directory)
+    bs = np.asarray(bm.sdf).reshape(-1, b, b, b)
+    bw = np.asarray(bm.weight).reshape(-1, b, b, b)
+    for bi in range(nb):
+        for bj in range(nb):
+            for bk in range(nb):
+                s = directory[bi, bj, bk]
+                if s >= 0:
+                    sl = np.s_[
+                        bi * b : (bi + 1) * b,
+                        bj * b : (bj + 1) * b,
+                        bk * b : (bk + 1) * b,
+                    ]
+                    sdf[sl] = bs[s]
+                    w[sl] = bw[s]
+    return sdf, w
+
+
+def test_integrate_matches_dense_on_allocated():
+    dense, bm, _ = _integrate_both(2)
+    bsdf, bwgt = _dense_of_blocks(bm)
+    dw = np.asarray(dense.weight)
+    ds = np.asarray(dense.sdf)
+    obs = bwgt > 0
+    assert obs.sum() > 10000
+    # The block map only integrates the truncation band; the dense golden
+    # additionally carves free space (psi=1 updates in front of the
+    # surface).  Invariants:
+    # 1. The block map never updates a voxel the dense pass skipped.
+    assert np.all(bwgt <= dw + 1e-5)
+    # 2. Where both saw the same number of observations, values match
+    #    exactly (same math, same order).
+    same = obs & (np.abs(bwgt - dw) < 1e-5)
+    assert same.sum() / obs.sum() > 0.95
+    np.testing.assert_allclose(bsdf[same], ds[same], rtol=1e-4, atol=1e-4)
+    # 3. Voxels where counts differ are free-space/band-edge (dense sdf
+    #    near +1), never near the surface.
+    diff = obs & ~same
+    if diff.sum():
+        assert np.min(ds[diff]) > 0.5
+    # The block map must cover (at least) every dense voxel observed within
+    # the truncation band interior — spot-check: dense voxels with |sdf|<0.5
+    # and weight>0 are allocated in the block map.
+    interior = (dw > 0) & (np.abs(np.asarray(dense.sdf)) < 0.5)
+    covered = obs & interior
+    assert covered.sum() / max(interior.sum(), 1) > 0.98
+
+
+def test_allocation_grows_and_is_idempotent():
+    f = _frame()
+    bm = blocks.allocate(CFG)
+    bm1 = blocks.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, CFG)
+    n1 = int(bm1.n_active)
+    assert n1 > 50
+    assert int(bm1.overflow) == 0
+    # Same frame again: no new blocks.
+    bm2 = blocks.integrate(bm1, f.depth, f.color, f.T_wc, SMALL_INTR, CFG)
+    assert int(bm2.n_active) == n1
+    # Weights doubled where observed (within max_weight).
+    assert float(jnp.max(bm2.weight)) == 2.0
+
+
+def test_capacity_overflow_is_counted_not_ub():
+    tiny = CFG.__class__(**{**CFG.__dict__, "table_capacity": 16})
+    f = _frame()
+    bm = blocks.allocate(tiny)
+    bm = blocks.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, tiny)
+    assert int(bm.n_active) == 16
+    assert int(bm.overflow) > 0
+    # Directory must not point past capacity.
+    assert int(jnp.max(bm.directory)) < 16
+
+
+def test_trilinear_matches_dense():
+    dense, bm, poses = _integrate_both(1)
+    # Sample at jittered centers of observed near-surface voxels so points
+    # land inside the allocated band.
+    rng = np.random.default_rng(0)
+    ds = np.asarray(dense.sdf)
+    dw = np.asarray(dense.weight)
+    ii, jj, kk = np.nonzero((dw > 0) & (np.abs(ds) < 0.5))
+    sel = rng.choice(len(ii), size=500, replace=False)
+    centers = np.stack([ii[sel], jj[sel], kk[sel]], -1).astype(np.float32)
+    p = (
+        np.asarray(CFG.origin)
+        + (centers + 0.5 + rng.uniform(-0.4, 0.4, (500, 3))) * CFG.voxel_size
+    ).astype(np.float32)
+    p = jnp.asarray(p)
+    sd, vd = tsdf.sample_trilinear(dense, p, CFG)
+    sb, vb = blocks.sample_trilinear(bm, p, CFG)
+    vd = np.asarray(vd)
+    vb = np.asarray(vb)
+    # Block-map validity additionally requires allocation; wherever the
+    # block map says valid, the dense sample must agree.
+    both = vb & vd
+    assert both.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(sb)[both], np.asarray(sd)[both], rtol=1e-4, atol=1e-4
+    )
+    # Block-valid must imply dense-valid (never the weaker way).
+    assert not np.any(vb & ~vd)
+
+
+def test_raycast_matches_dense():
+    dense, bm, poses = _integrate_both(1)
+    T = poses[0]
+    md = rc_dense.raycast(dense, T, SMALL_INTR, CFG, RC)
+    mb = blocks.raycast(bm, T, SMALL_INTR, CFG, RC)
+    vd = np.asarray(md.valid)
+    vb = np.asarray(mb.valid)
+    both = vd & vb
+    # The block raycast must find (nearly) the same surface.
+    assert both.sum() / max(vd.sum(), 1) > 0.95
+    dd = np.asarray(md.depth)[both]
+    db = np.asarray(mb.depth)[both]
+    assert np.median(np.abs(dd - db)) < 0.5 * CFG.voxel_size
+    nd = np.asarray(md.normal_w)[both]
+    nb_ = np.asarray(mb.normal_w)[both]
+    cos = np.sum(nd * nb_, axis=-1)
+    assert np.median(cos) > 0.99
+
+
+def test_empty_map_raycast_all_invalid():
+    bm = blocks.allocate(CFG)
+    m = blocks.raycast(bm, jnp.eye(4), SMALL_INTR, CFG, RC)
+    assert not bool(jnp.any(m.valid))

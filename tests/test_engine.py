@@ -5,7 +5,7 @@ import numpy as np
 from instancefusion_tpu.datasets import synthetic
 from instancefusion_tpu.engine import slam
 from instancefusion_tpu.utils.ate import ate_rmse, rpe_rmse
-from tests.helpers import SMALL_CFG, SMALL_INTR, SMALL_TSDF
+from tests.helpers import SMALL_CFG, SMALL_INTR, SMALL_TSDF  # noqa: F401
 
 
 def test_engine_end_to_end_synthetic():
@@ -59,3 +59,30 @@ def test_engine_lost_tracking_counter():
     assert not bool(info.track_ok)
     assert int(state.lost_frames) == 1
     np.testing.assert_allclose(np.asarray(state.T_wc), T_before)
+
+
+def test_engine_blocks_end_to_end():
+    """Same golden end-to-end as the dense engine, on the sparse block map
+    (config-2 structure at test scale)."""
+    import dataclasses
+
+    from tests.helpers import SMALL_CFG, SMALL_TSDF
+
+    cfg = dataclasses.replace(
+        SMALL_CFG,
+        map_kind="blocks",
+        tsdf=dataclasses.replace(SMALL_TSDF, block_size=8, table_capacity=1728),
+    )
+    n = 12
+    poses_gt = synthetic.orbit_trajectory(n)
+    frames = [synthetic.render_frame(poses_gt[i], SMALL_INTR) for i in range(n)]
+    state = slam.init_state(cfg, frames[0].T_wc)
+    est = []
+    for f in frames:
+        state, info = slam.step(cfg, state, f.depth, f.color)
+        est.append(np.asarray(state.T_wc))
+    assert bool(info.track_ok)
+    ate = ate_rmse(np.stack(est), np.asarray(poses_gt)[:n])
+    assert ate < cfg.tsdf.voxel_size, ate
+    assert int(state.volume.overflow) == 0
+    assert int(state.volume.n_active) > 100
