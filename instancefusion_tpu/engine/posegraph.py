@@ -1,0 +1,216 @@
+"""Keyframe store, fern loop detection, ICP verification, graph correction.
+
+The backend layer of the engine (SURVEY.md §4.6): the reference detects
+global loops with a fern keyframe database, verifies them by registration,
+and corrects the map with an embedded deformation graph; here the map
+correction is the BASELINE-mandated keyframe pose graph optimized by
+Gauss-Newton (ops/ba.py), with loop edges produced by re-running the
+Pallas/jnp ICP between the current frame and the retrieved keyframe's
+stored maps.
+
+All state is fixed-capacity pytrees; the host driver (cli / pipeline)
+decides *when* to call each piece (keyframe cadence, optimization
+trigger), the pieces themselves are jit-able.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instancefusion_tpu.config import EngineConfig, PoseGraphConfig
+from instancefusion_tpu.geometry.camera import Intrinsics
+from instancefusion_tpu.geometry.se3 import se3_inverse, transform_points, rotate_vectors
+from instancefusion_tpu.ops import ba, ferns, icp
+
+
+class KeyframeStore(NamedTuple):
+    poses: jnp.ndarray  # f32[M,4,4] — T_wc at insertion (updated by BA)
+    codes: jnp.ndarray  # u8[M,F] — fern codes
+    vertex_c: jnp.ndarray  # f32[M,h,w,3] — decimated camera-frame vertices
+    normal_c: jnp.ndarray  # f32[M,h,w,3]
+    valid: jnp.ndarray  # bool[M,h,w]
+    frame_idx: jnp.ndarray  # i32[M]
+    count: jnp.ndarray  # () i32
+
+
+class BackendState(NamedTuple):
+    kf: KeyframeStore
+    graph: ba.PoseGraph
+    n_edges: jnp.ndarray  # () i32
+    coder: ferns.FernCoder
+    n_loops: jnp.ndarray  # () i32
+
+
+def allocate(cfg: EngineConfig, decim: int = 4, seed: int = 0) -> BackendState:
+    pg = cfg.posegraph
+    intr = cfg.intrinsics
+    h, w = intr.height // decim, intr.width // decim
+    m = pg.max_keyframes
+    coder = ferns.make_coder(jax.random.PRNGKey(seed), intr.height, intr.width,
+                             pg.fern_count)
+    return BackendState(
+        kf=KeyframeStore(
+            poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (m, 4, 4)),
+            codes=jnp.zeros((m, pg.fern_count), jnp.uint8),
+            vertex_c=jnp.zeros((m, h, w, 3), jnp.float32),
+            normal_c=jnp.zeros((m, h, w, 3), jnp.float32),
+            valid=jnp.zeros((m, h, w), bool),
+            frame_idx=jnp.zeros((m,), jnp.int32),
+            count=jnp.zeros((), jnp.int32),
+        ),
+        graph=ba.empty_graph(pg.max_edges),
+        n_edges=jnp.zeros((), jnp.int32),
+        coder=coder,
+        n_loops=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def add_keyframe(
+    bs: BackendState,
+    T_wc: jnp.ndarray,
+    color: jnp.ndarray,
+    depth: jnp.ndarray,
+    vertex_c: jnp.ndarray,  # full-res camera-frame vertex map (preprocess)
+    normal_c: jnp.ndarray,
+    decim: int = 4,
+) -> BackendState:
+    """Insert a keyframe: fern code + decimated geometry + odometry edge.
+
+    The odometry edge links the previous keyframe to this one with the
+    tracked relative pose (weight 1); loop edges added later carry higher
+    weight after ICP verification.
+    """
+    code = ferns.encode(bs.coder, color, depth)
+    v = vertex_c[::decim, ::decim]
+    n = normal_c[::decim, ::decim]
+    val = (depth[::decim, ::decim] > 0.0) & (
+        jnp.linalg.norm(n, axis=-1) > 1e-6
+    )
+    i = jnp.minimum(bs.kf.count, bs.kf.poses.shape[0] - 1)
+    kf = KeyframeStore(
+        poses=bs.kf.poses.at[i].set(T_wc),
+        codes=bs.kf.codes.at[i].set(code),
+        vertex_c=bs.kf.vertex_c.at[i].set(v),
+        normal_c=bs.kf.normal_c.at[i].set(n),
+        valid=bs.kf.valid.at[i].set(val),
+        frame_idx=bs.kf.frame_idx.at[i].set(bs.kf.count),
+        count=jnp.minimum(bs.kf.count + 1, bs.kf.poses.shape[0]),
+    )
+    # Odometry edge (i-1 -> i) from the tracked poses.
+    prev = jnp.maximum(i - 1, 0)
+    T_rel = jnp.matmul(
+        se3_inverse(kf.poses[prev]), T_wc, precision=jax.lax.Precision.HIGHEST
+    )
+    graph, n_edges = ba.add_edge(bs.graph, bs.n_edges, prev, i, T_rel, 1.0)
+    has_prev = i > 0
+    graph = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(has_prev, new, old), graph, bs.graph
+    )
+    n_edges = jnp.where(has_prev, n_edges, bs.n_edges)
+    return bs._replace(kf=kf, graph=graph, n_edges=n_edges)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def detect_loop(
+    bs: BackendState,
+    color: jnp.ndarray,
+    depth: jnp.ndarray,
+    min_gap: int = 3,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fern retrieval for the current frame: (best_kf_index, dissimilarity).
+
+    Excludes the `min_gap` most recent keyframes (a frame always resembles
+    its immediate past).
+    """
+    code = ferns.encode(bs.coder, color, depth)
+    return ferns.find_best(
+        code, bs.kf.codes,
+        jax.lax.broadcasted_iota(jnp.int32, (bs.kf.codes.shape[0], 1), 0)[:, 0]
+        < bs.kf.count,
+        bs.kf.count - min_gap,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def verify_loop(
+    bs: BackendState,
+    cand: jnp.ndarray,  # () i32 keyframe index
+    vertex_c: jnp.ndarray,  # current frame camera-frame vertex map (full res)
+    normal_c: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: EngineConfig,
+    T_cur_wc: jnp.ndarray = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ICP the current frame against the candidate keyframe's stored maps.
+
+    Returns (T_rel (4,4): T_kf^-1 T_cur, inliers, ok).  Runs the same
+    point-to-plane machinery as tracking (icp.build_normal_equations) at
+    the keyframe's decimated resolution — the reference reuses its
+    RGBDOdometry for exactly this (SURVEY §4.6).
+    """
+    decim = vertex_c.shape[0] // bs.kf.vertex_c.shape[1]
+    kf_pose = bs.kf.poses[cand]
+    # Target maps: keyframe geometry in world frame.
+    tv = transform_points(
+        kf_pose, bs.kf.vertex_c[cand].reshape(-1, 3)
+    ).reshape(bs.kf.vertex_c[cand].shape)
+    tn = rotate_vectors(kf_pose, bs.kf.normal_c[cand].reshape(-1, 3)).reshape(tv.shape)
+    tval = bs.kf.valid[cand]
+
+    intr_d = Intrinsics(
+        fx=intr.fx / decim, fy=intr.fy / decim,
+        cx=(intr.cx + 0.5) / decim - 0.5, cy=(intr.cy + 0.5) / decim - 0.5,
+        width=intr.width // decim, height=intr.height // decim,
+    )
+    src_v = vertex_c[::decim, ::decim]
+    src_n = normal_c[::decim, ::decim]
+    src_val = (src_v[..., 2] > 0.0) & (jnp.linalg.norm(src_n, axis=-1) > 1e-6)
+
+    # Initialize at the tracked pose if given, else at the keyframe pose.
+    T0 = kf_pose if T_cur_wc is None else T_cur_wc
+    pyr = [{"vmap": src_v, "nmap": src_n, "valid": src_val}]
+    icp_cfg = cfg.icp.__class__(
+        iters=(cfg.posegraph.ba_iters,), levels=1,
+        dist_thresh=cfg.icp.dist_thresh * 2.0,
+        angle_thresh=cfg.icp.angle_thresh,
+        rgb_weight=0.0, damping=cfg.icp.damping,
+        min_valid=cfg.icp.min_valid // (decim * decim // 2),
+    )
+    result = icp.track(
+        pyr, tv, tn, tval, T0, kf_pose, intr_d, icp_cfg
+    )
+    T_rel = jnp.matmul(
+        se3_inverse(kf_pose), result.T_wc, precision=jax.lax.Precision.HIGHEST
+    )
+    min_inl = (intr_d.width * intr_d.height) * 0.2
+    ok = result.valid & (result.inliers > min_inl) & (
+        result.residual < cfg.tsdf.voxel_size
+    )
+    return T_rel, result.inliers, ok
+
+
+def add_loop_edge(
+    bs: BackendState, kf_i: jnp.ndarray, kf_j: jnp.ndarray, T_rel: jnp.ndarray,
+    weight: float = 10.0,
+) -> BackendState:
+    graph, n_edges = ba.add_edge(bs.graph, bs.n_edges, kf_i, kf_j, T_rel, weight)
+    return bs._replace(graph=graph, n_edges=n_edges, n_loops=bs.n_loops + 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def optimize(bs: BackendState, cfg: PoseGraphConfig) -> tuple[BackendState, jnp.ndarray]:
+    """Gauss-Newton over all keyframe poses; returns (state, final cost)."""
+    poses, cost = ba.optimize_pose_graph(
+        bs.kf.poses, bs.graph, iters=cfg.ba_iters
+    )
+    # Untouched (unused) rows keep identity; BA only moves rows referenced
+    # by valid edges, but guard anyway so count stays authoritative.
+    m = poses.shape[0]
+    used = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0] < bs.kf.count
+    poses = jnp.where(used[:, None, None], poses, bs.kf.poses)
+    return bs._replace(kf=bs.kf._replace(poses=poses)), cost

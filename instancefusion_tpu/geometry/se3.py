@@ -53,9 +53,10 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks near 0.
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    half_sin = jnp.sin(0.5 * theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, 2.0 * half_sin * half_sin / theta2)
     K = _skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * (_mm(K, K))
@@ -64,12 +65,20 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Inverse of so3_exp. R: (..., 3, 3) -> (..., 3) axis-angle.
 
-    Valid away from theta == pi (sufficient for incremental tracking where
-    per-step rotations are small).
+    Three regimes, all `where`-NaN-safe (each dangerous formula only ever
+    sees sanitized inputs, because NaN * 0 = NaN in gradients and jacfwd
+    differentiates through this in pose-graph BA — ops/ba.py):
+
+    - theta ~ 0: series  theta/(2 sin t) = 1/2 + (1 - cos t)/6 + O(t^4),
+      smooth in the matrix entries (d(arccos) -> inf at cos t = 1).
+    - mid:       w = theta/(2 sin t) * vee.
+    - theta ~ pi: vee -> 0 and sin t -> 0; recover the axis from the rank-1
+      structure (R + I)/2 = a a^T + O(pi - t) via its largest column
+      (selected with a one-hot matmul, not a dynamic gather).  Loop
+      closures between opposite-heading keyframes land exactly here.
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     vee = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -78,11 +87,40 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-4
-    # vee = 2 sin(theta) * axis; w = theta * axis.
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t + _EPS))
-    return scale[..., None] * vee
+    # theta < ~0.01 rad: arccos near 1 is ill-conditioned in f32 (1 - cos t
+    # underflows relative precision); the series is exact to O(theta^4).
+    small = cos_t > 1.0 - 5e-5
+    near_pi = cos_t < -1.0 + 1e-4
+    mid = jnp.logical_not(small | near_pi)
+
+    safe_cos = jnp.where(mid, cos_t, jnp.zeros_like(cos_t))
+    theta_mid = jnp.arccos(safe_cos)
+    scale_big = theta_mid / (2.0 * jnp.sin(theta_mid) + _EPS)
+    scale_small = 0.5 + (1.0 - cos_t) / 6.0
+    w_regular = jnp.where(small, scale_small, scale_big)[..., None] * vee
+
+    # theta ~ pi branch: B = (R + I)/2 ~= a a^T; pick the largest column.
+    B = 0.5 * (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape))
+    diagB = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
+    kbest = jnp.argmax(diagB, axis=-1)
+    oh = jax.nn.one_hot(kbest, 3, dtype=R.dtype)
+    col = _mm(B, oh[..., None])[..., 0]
+    axis = col / jnp.maximum(
+        jnp.linalg.norm(col, axis=-1, keepdims=True), _EPS
+    )
+    # Orient the axis consistently with vee (vee = 2 sin(t) * axis >= 0
+    # component along axis away from exactly pi).
+    sgn = jnp.sign(jnp.sum(vee * axis, axis=-1, keepdims=True))
+    axis = jnp.where(sgn < 0.0, -axis, axis)
+    # Sanitize for the untaken-branch gradient: |vee| is non-smooth at 0
+    # (eps-regularized sqrt) and d(arcsin) -> inf at 1 (cap away from 1;
+    # mid-range rotations can hit sin t = 1 exactly and would poison the
+    # jacobian through where's NaN * 0).
+    sin_t = jnp.sqrt(jnp.sum(vee * vee, axis=-1) + _EPS * _EPS) * 0.5
+    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(sin_t, 0.0, 1.0 - 1e-6))
+    w_pi = theta_pi[..., None] * axis
+
+    return jnp.where(near_pi[..., None], w_pi, w_regular)
 
 
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
@@ -93,9 +131,10 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     v, w = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    half_sin = jnp.sin(0.5 * theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, 2.0 * half_sin * half_sin / theta2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2)
     K = _skew(w)
     K2 = _mm(K, K)
@@ -118,9 +157,10 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    half_sin = jnp.sin(0.5 * theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, 2.0 * half_sin * half_sin / theta2)
     K = _skew(w)
     K2 = _mm(K, K)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
@@ -146,6 +186,24 @@ def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
     Ti = Ti.at[..., :3, 3].set(ti)
     Ti = Ti.at[..., 3, 3].set(1.0)
     return Ti
+
+
+def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation part back onto SO(3) (Gram-Schmidt).
+
+    Long products of exp-updates drift off the manifold in f32; drifted
+    rotations push trace(R) past 3 and destabilize so3_log's branch
+    boundaries (pose-graph GN iterates through exactly that path).
+    """
+    R = T[..., :3, :3]
+    c0 = R[..., :, 0]
+    c0 = c0 / jnp.maximum(jnp.linalg.norm(c0, axis=-1, keepdims=True), _EPS)
+    c1 = R[..., :, 1]
+    c1 = c1 - jnp.sum(c0 * c1, axis=-1, keepdims=True) * c0
+    c1 = c1 / jnp.maximum(jnp.linalg.norm(c1, axis=-1, keepdims=True), _EPS)
+    c2 = jnp.cross(c0, c1)
+    Rn = jnp.stack([c0, c1, c2], axis=-1)
+    return T.at[..., :3, :3].set(Rn)
 
 
 def transform_points(T: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
