@@ -26,6 +26,14 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument("--metrics-out", default=None, help="write JSONL metrics here")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--loops", action="store_true", help="enable keyframes + loop closure")
+    p.add_argument("--instances", action="store_true",
+                   help="enable instance fusion (synthetic GT masks or seg head)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=200)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--export-traj", default=None,
+                   help="write the trajectory in TUM format here")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -74,38 +82,66 @@ def cmd_run(args: argparse.Namespace) -> int:
         gt = seq.gt_poses(limit=args.frames or None)
         T0 = None if gt is None else gt[0]
 
-    state = slam.init_state(cfg, T0)
-    out = open(args.metrics_out, "w") if args.metrics_out else None
-    est = []
-    t_start = time.perf_counter()
-    nframes = 0
-    for i, frame in enumerate(frame_iter):
-        depth, color = frame.depth, frame.color
-        state, info = slam.step(cfg, state, depth, color)
-        est.append(np.asarray(state.T_wc))
-        nframes += 1
-        rec = {
-            "frame": i,
-            "inliers": float(info.inliers),
-            "residual_m": float(info.residual),
-            "track_ok": bool(info.track_ok),
-            "fused": float(info.fused_voxels),
-        }
-        if out:
-            out.write(json.dumps(rec) + "\n")
-        if not args.quiet:
-            print(json.dumps(rec))
-    elapsed = time.perf_counter() - t_start
-    if out:
-        out.close()
+    import dataclasses as _dc
+
+    from instancefusion_tpu.engine import pipeline
+    from instancefusion_tpu.utils.metrics import MetricsWriter
+
+    if args.instances and not cfg.use_instances:
+        cfg = _dc.replace(cfg, map_kind="blocks", use_instances=True)
+
+    segment_fn = None
+    if args.instances and args.dataset == "synthetic":
+        import jax.numpy as jnp
+
+        from instancefusion_tpu.models.segmentation import Segmentation
+
+        k = cfg.instances.max_instances
+
+        def segment_fn(frame):
+            present = jnp.arange(k) < 4
+            return Segmentation(
+                mask_id=frame.instance,
+                classes=jnp.where(present, jnp.arange(k, dtype=jnp.int32) + 1, 0),
+                scores=jnp.where(present, 1.0, 0.0),
+                valid=present,
+            )
+
+    metrics = MetricsWriter(args.metrics_out, echo=not args.quiet)
+    res = pipeline.run(
+        cfg,
+        frame_iter,
+        T_init_wc=T0,
+        segment_fn=segment_fn,
+        metrics=metrics,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        enable_loops=args.loops,
+        resume=args.resume,
+    )
+    metrics.close()
+
+    if args.export_traj:
+        with open(args.export_traj, "w") as f:
+            for i, T in enumerate(res.poses):
+                # TUM format: t tx ty tz qx qy qz qw
+                from instancefusion_tpu.utils.ate import rotmat_to_quat
+
+                q = rotmat_to_quat(T[:3, :3])
+                t = T[:3, 3]
+                f.write(
+                    f"{i / 30.0:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+                )
 
     summary = {
-        "frames": nframes,
-        "fps": nframes / max(elapsed, 1e-9),
-        "elapsed_s": elapsed,
+        "frames": int(res.poses.shape[0]),
+        "fps": res.fps,
+        "keyframes": res.n_keyframes,
+        "loop_closures": res.n_loops,
     }
-    if gt is not None and len(est) == len(gt):
-        summary["ate_rmse_m"] = ate_rmse(np.stack(est), gt)
+    if gt is not None and len(res.poses) == len(gt):
+        summary["ate_rmse_m"] = ate_rmse(res.poses, np.asarray(gt))
     print(json.dumps({"summary": summary}))
     return 0
 

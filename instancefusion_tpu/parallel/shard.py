@@ -1,0 +1,427 @@
+"""Slab-sharded block map: distributed integrate / raycast / BA reductions.
+
+The distributed centerpiece (SURVEY.md §3.2): the reference has no
+distribution at all; BASELINE mandates the global map be partitioned into
+voxel blocks sharded across devices/hosts.  Design:
+
+- **Slab ownership**: shard s owns all blocks whose x block-coordinate
+  falls in slab s (contiguous ranges, so trilinear stencils only straddle
+  shards at S - 1 planar seams, healed by halo exchange — spatial-hash
+  ownership would put a seam at *every* block face).
+- **Global slot encoding**: slot = shard_id * C_local + local_slot.  The
+  (replicated, 1 MB) directory stays globally meaningful while payload
+  rows live only on their owner.
+- **Allocation**: each shard prefix-sum-allocates its own slab's touched
+  blocks into its local slot range; the disjoint proposals merge with one
+  `pmax` — no cross-shard races by construction.
+- **Integrate**: zero communication — every shard updates only rows it
+  owns (the frame is replicated; the touched-set compute is identical
+  everywhere).
+- **Halo exchange**: before raycasting, each shard `ppermute`s its
+  boundary-layer block rows to the neighbor shard (the ring/CP analog),
+  so cross-seam trilinear stencils see real data.
+- **Raycast compositing**: every shard marches all pixels through its own
+  slab (+halo) and the shards `pmin`-composite per-pixel depth; winner
+  fields are blended by masked `psum` (SURVEY §8 hard-part #4 — no
+  cross-shard ray hand-off state machine).
+- **BA reduction**: edge/observation sets shard over the same axis; the
+  pure-sum partials from ops/ba.py `psum` into the replicated reduced
+  system (the "distributed Schur-complement reduction over ICI").
+
+Everything is `shard_map` over the mesh from parallel/mesh.py; the same
+code runs on a CPU test mesh (xla_force_host_platform_device_count) and a
+pod slice (`jax.distributed.initialize` + ICI/DCN collectives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from instancefusion_tpu.config import TsdfConfig
+from instancefusion_tpu.geometry.camera import Intrinsics
+from instancefusion_tpu.ops import ba, blocks as blk
+from instancefusion_tpu.parallel.mesh import SHARD_AXIS
+
+
+class ShardedBlockMap(NamedTuple):
+    """Global view of the sharded map (payload rows sharded on axis 0)."""
+
+    directory: jnp.ndarray  # i32[Nb,Nb,Nb] replicated; global slot encoding
+    block_coords: jnp.ndarray  # i32[S*Cl, 3]
+    n_active: jnp.ndarray  # i32[S] — per-shard live-slot counts
+    overflow: jnp.ndarray  # i32[S]
+    sdf: jnp.ndarray  # f32[S*Cl, B^3]
+    weight: jnp.ndarray  # f32[S*Cl, B^3]
+    color: jnp.ndarray  # f32[S*Cl, B^3, 3]
+
+
+def allocate(cfg: TsdfConfig, num_shards: int, with_color: bool = True) -> ShardedBlockMap:
+    nb = blk.num_blocks_per_axis(cfg)
+    cl = cfg.table_capacity // num_shards
+    c = cl * num_shards
+    b3 = cfg.block_size**3
+    return ShardedBlockMap(
+        directory=jnp.full((nb, nb, nb), -1, jnp.int32),
+        block_coords=jnp.full((c, 3), -1, jnp.int32),
+        n_active=jnp.zeros((num_shards,), jnp.int32),
+        overflow=jnp.zeros((num_shards,), jnp.int32),
+        sdf=jnp.ones((c, b3), jnp.float32),
+        weight=jnp.zeros((c, b3), jnp.float32),
+        color=jnp.zeros((c, b3 if with_color else 0, 3), jnp.float32),
+    )
+
+
+def _slab_of(bx: jnp.ndarray, nb: int, num_shards: int) -> jnp.ndarray:
+    return jnp.clip(bx // (nb // num_shards), 0, num_shards - 1)
+
+
+def _local_map(bm_local, directory) -> blk.BlockMap:
+    """Adapter: shard-local rows as a plain BlockMap for blocks.* reuse."""
+    return blk.BlockMap(
+        directory=directory,
+        block_coords=bm_local.block_coords,
+        n_active=bm_local.n_active,
+        overflow=bm_local.overflow,
+        sdf=bm_local.sdf,
+        weight=bm_local.weight,
+        color=bm_local.color,
+    )
+
+
+def _integrate_shard(
+    directory, coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l,
+    depth, color, T_wc, *, intr: Intrinsics, cfg: TsdfConfig,
+    num_shards: int, max_touched: int,
+):
+    """Per-shard body: allocate my slab's blocks, update my rows."""
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    nb = blk.num_blocks_per_axis(cfg)
+    cl = sdf_l.shape[0]
+    b3 = cfg.block_size**3
+    n_active = n_active_l[0]
+
+    touched = blk.touched_blocks_mask(depth, T_wc, intr, cfg)  # replicated
+    dir_flat = directory.reshape(-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
+    bx = idx // (nb * nb)
+    mine = _slab_of(bx, nb, num_shards) == sid
+
+    # --- allocation (local prefix sum, pmax merge of disjoint proposals)
+    need = touched & (dir_flat < 0) & mine
+    order = jnp.cumsum(need.astype(jnp.int32)) - 1
+    local_slot = n_active + order
+    fits = need & (local_slot < cl)
+    gslot = sid * cl + local_slot
+    proposal = jnp.where(fits, gslot, -1)
+    merged = jax.lax.pmax(proposal, SHARD_AXIS)
+    dir_new = jnp.where((dir_flat < 0) & (merged >= 0), merged, dir_flat)
+
+    n_new = jnp.sum(fits.astype(jnp.int32))
+    n_drop = jnp.sum((need & ~fits).astype(jnp.int32))
+    coords = jnp.stack([bx, (idx // nb) % nb, idx % nb], axis=-1)
+    scat = jnp.where(fits, local_slot, cl)
+    coords_l = coords_l.at[scat].set(coords, mode="drop")
+    n_active_l = n_active_l + n_new
+    overflow_l = overflow_l + n_drop
+
+    # --- integrate my touched rows (zero communication)
+    touched_mine = touched & mine & (dir_new >= 0)
+    k = min(max_touched, nb * nb * nb)
+    vals, tidx = jax.lax.top_k(touched_mine.astype(jnp.int32), k)
+    gslots = dir_new[tidx]
+    lslots = gslots - sid * cl
+    valid = (vals > 0) & (lslots >= 0) & (lslots < cl)
+    lslots = jnp.where(valid, lslots, 0)
+
+    from instancefusion_tpu.geometry.camera import project
+    from instancefusion_tpu.geometry.se3 import se3_inverse, transform_points
+
+    bcoords = coords_l[lslots]
+    local = blk._local_offsets(cfg)
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    vox = bcoords[:, None, :] * cfg.block_size + local[None, :, :]
+    p_w = origin + (vox.astype(jnp.float32) + 0.5) * cfg.voxel_size
+    T_cw = se3_inverse(T_wc)
+    p_c = transform_points(T_cw, p_w.reshape(-1, 3)).reshape(p_w.shape)
+    u, v, z = project(intr, p_c)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
+    uic = jnp.clip(ui, 0, intr.width - 1)
+    vic = jnp.clip(vi, 0, intr.height - 1)
+    d = depth[vic, uic]
+    sdf_obs = d - z
+    ok = in_img & (z > 0.0) & (d > 0.0) & (sdf_obs > -cfg.trunc) & valid[:, None]
+    psi = jnp.clip(sdf_obs / cfg.trunc, -1.0, 1.0)
+    w_obs = jnp.where(ok, 1.0, 0.0)
+    sdf_old = sdf_l[lslots]
+    w_old = w_l[lslots]
+    w_new = w_old + w_obs
+    denom = jnp.maximum(w_new, 1e-6)
+    sdf_new = (sdf_old * w_old + psi * w_obs) / denom
+    w_new = jnp.minimum(w_new, cfg.max_weight)
+    out = jnp.where(valid, lslots, cl)
+    sdf_l = sdf_l.at[out].set(sdf_new, mode="drop")
+    w_l = w_l.at[out].set(w_new, mode="drop")
+    if col_l.shape[1]:
+        c_old = col_l[lslots]
+        c_obs = color[vic, uic]
+        c_new = (c_old * w_old[..., None] + c_obs * w_obs[..., None]) / denom[..., None]
+        col_l = col_l.at[out].set(c_new, mode="drop")
+
+    return dir_new.reshape(directory.shape), coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l
+
+
+def integrate(
+    bm: ShardedBlockMap,
+    depth: jnp.ndarray,
+    color: jnp.ndarray | None,
+    T_wc: jnp.ndarray,
+    mesh: Mesh,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    max_touched: int = 8192,
+) -> ShardedBlockMap:
+    num_shards = mesh.shape[SHARD_AXIS]
+    color_in = color if color is not None else jnp.zeros(
+        (intr.height, intr.width, 3), jnp.float32
+    )
+    fn = shard_map(
+        functools.partial(
+            _integrate_shard, intr=intr, cfg=cfg, num_shards=num_shards,
+            max_touched=max_touched,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(), P(), P(),
+        ),
+        out_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+        ),
+        check_rep=False,
+    )
+    directory, coords, n_active, overflow, sdf, w, col = fn(
+        bm.directory, bm.block_coords, bm.n_active, bm.overflow,
+        bm.sdf, bm.weight, bm.color, depth, color_in, T_wc,
+    )
+    return ShardedBlockMap(
+        directory=directory, block_coords=coords, n_active=n_active,
+        overflow=overflow, sdf=sdf, weight=w, color=col,
+    )
+
+
+def _halo_exchange(
+    directory, coords_l, sdf_l, w_l, col_l, *, cfg: TsdfConfig,
+    num_shards: int, halo_cap: int, sid,
+):
+    """ppermute my slab-boundary block rows to both neighbors.
+
+    Returns (halo_dir_flat i32[Nb^3] mapping block -> halo row or -1,
+    halo_sdf, halo_w, halo_col) on each shard.
+    """
+    nb = blk.num_blocks_per_axis(cfg)
+    cl = sdf_l.shape[0]
+    slab = nb // num_shards
+    dir_flat = directory.reshape(-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
+    bx = idx // (nb * nb)
+    owner = _slab_of(bx, nb, num_shards)
+
+    def boundary_rows(layer_bx):
+        """Compact my allocated blocks at x-layer `layer_bx` (<= halo_cap)."""
+        sel = (bx == layer_bx) & (owner == sid) & (dir_flat >= 0)
+        vals, tidx = jax.lax.top_k(sel.astype(jnp.int32), halo_cap)
+        gslot = dir_flat[tidx]
+        lslot = jnp.clip(gslot - sid * cl, 0, cl - 1)
+        ok = vals > 0
+        rows_sdf = jnp.where(ok[:, None], sdf_l[lslot], 1.0)
+        rows_w = jnp.where(ok[:, None], w_l[lslot], 0.0)
+        rows_col = (
+            jnp.where(ok[:, None, None], col_l[lslot], 0.0)
+            if col_l.shape[1]
+            else col_l[:halo_cap] if col_l.shape[0] >= halo_cap
+            else jnp.zeros((halo_cap, 0, 3), col_l.dtype)
+        )
+        block_id = jnp.where(ok, tidx, -1)
+        return block_id, rows_sdf, rows_w, rows_col
+
+    # Send my last layer right, my first layer left.
+    right_payload = boundary_rows(sid * slab + (slab - 1))
+    left_payload = boundary_rows(sid * slab)
+    perm_r = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+    perm_l = [(i, (i - 1) % num_shards) for i in range(num_shards)]
+    from_left = jax.tree_util.tree_map(
+        lambda x: jax.lax.ppermute(x, SHARD_AXIS, perm_r), right_payload
+    )
+    from_right = jax.tree_util.tree_map(
+        lambda x: jax.lax.ppermute(x, SHARD_AXIS, perm_l), left_payload
+    )
+
+    # Drop wrapped-ring halos at the ends (shard 0 has no left neighbor).
+    def mask_payload(payload, valid):
+        bid, s, w, c = payload
+        return (
+            jnp.where(valid, bid, -1), s, w, c,
+        )
+
+    from_left = mask_payload(from_left, sid > 0)
+    from_right = mask_payload(from_right, sid < num_shards - 1)
+
+    halo_sdf = jnp.concatenate([from_left[1], from_right[1]], axis=0)
+    halo_w = jnp.concatenate([from_left[2], from_right[2]], axis=0)
+    halo_col = jnp.concatenate([from_left[3], from_right[3]], axis=0)
+    halo_dir = jnp.full((nb * nb * nb,), -1, jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (halo_cap, 1), 0)[:, 0]
+    bid_l = jnp.where(from_left[0] >= 0, from_left[0], nb * nb * nb)
+    halo_dir = halo_dir.at[bid_l].set(rows, mode="drop")
+    bid_r = jnp.where(from_right[0] >= 0, from_right[0], nb * nb * nb)
+    halo_dir = halo_dir.at[bid_r].set(rows + halo_cap, mode="drop")
+    return halo_dir, halo_sdf, halo_w, halo_col
+
+
+def _raycast_shard(
+    directory, coords_l, sdf_l, w_l, col_l, T_wc,
+    *, intr: Intrinsics, tsdf_cfg: TsdfConfig, rc_cfg, num_shards: int,
+    halo_cap: int, with_color: bool,
+):
+    """Per-shard raycast over (my slab + halo), then pmin composite."""
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    nb = blk.num_blocks_per_axis(tsdf_cfg)
+    cl = sdf_l.shape[0]
+    b3 = tsdf_cfg.block_size**3
+
+    halo_dir, halo_sdf, halo_w, halo_col = _halo_exchange(
+        directory, coords_l, sdf_l, w_l, col_l, cfg=tsdf_cfg,
+        num_shards=num_shards, halo_cap=halo_cap, sid=sid,
+    )
+
+    # Shard-local sampling directory: my rows at [0, cl), halo rows appended.
+    dir_flat = directory.reshape(-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
+    owner = _slab_of(idx // (nb * nb), nb, num_shards)
+    local_slot = dir_flat - sid * cl
+    ldir = jnp.where(
+        (owner == sid) & (dir_flat >= 0), local_slot,
+        jnp.where(halo_dir >= 0, cl + halo_dir, -1),
+    ).astype(jnp.int32)
+
+    local_bm = blk.BlockMap(
+        directory=ldir.reshape(nb, nb, nb),
+        block_coords=coords_l,  # unused by sampling
+        n_active=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+        sdf=jnp.concatenate([sdf_l, halo_sdf], axis=0),
+        weight=jnp.concatenate([w_l, halo_w], axis=0),
+        color=jnp.concatenate([col_l, halo_col], axis=0)
+        if col_l.shape[1]
+        else col_l,
+    )
+    maps = blk.raycast(
+        local_bm, T_wc, intr, tsdf_cfg, rc_cfg, with_color=with_color
+    )
+
+    # psum-min composite: the shard whose slab contains the first surface
+    # along each ray wins the pixel.
+    inf = jnp.float32(3.4e38)
+    my_depth = jnp.where(maps.valid, maps.depth, inf)
+    best = jax.lax.pmin(my_depth, SHARD_AXIS)
+    win = maps.valid & (my_depth <= best)
+    nwin = jnp.maximum(jax.lax.psum(win.astype(jnp.float32), SHARD_AXIS), 1.0)
+
+    def blend(x, extra_dims):
+        m = win.astype(jnp.float32).reshape(win.shape + (1,) * extra_dims)
+        return jax.lax.psum(x * m, SHARD_AXIS) / nwin.reshape(
+            nwin.shape + (1,) * extra_dims
+        )
+
+    any_valid = jax.lax.psum(win.astype(jnp.int32), SHARD_AXIS) > 0
+    return type(maps)(
+        vertex_w=blend(maps.vertex_w, 1),
+        normal_w=blend(maps.normal_w, 1),
+        depth=blend(maps.depth, 0),
+        color=blend(maps.color, 1),
+        valid=any_valid,
+    )
+
+
+def raycast(
+    bm: ShardedBlockMap,
+    T_wc: jnp.ndarray,
+    mesh: Mesh,
+    intr: Intrinsics,
+    tsdf_cfg: TsdfConfig,
+    rc_cfg,
+    halo_cap: int = 1024,
+    with_color: bool = True,
+):
+    num_shards = mesh.shape[SHARD_AXIS]
+    nb = blk.num_blocks_per_axis(tsdf_cfg)
+    # A slab boundary layer holds at most nb^2 blocks.
+    halo_cap = min(halo_cap, nb * nb)
+    fn = shard_map(
+        functools.partial(
+            _raycast_shard, intr=intr, tsdf_cfg=tsdf_cfg, rc_cfg=rc_cfg,
+            num_shards=num_shards, halo_cap=halo_cap, with_color=with_color,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return fn(bm.directory, bm.block_coords, bm.sdf, bm.weight, bm.color, T_wc)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BA reductions (the "collective Schur BA")
+# ---------------------------------------------------------------------------
+
+
+def sharded_ba_partials(mesh: Mesh):
+    """Returns a `partials_fn` for ops/ba.optimize_ba whose observation set
+    is sharded over the mesh: shard-local JᵀJ/Jᵀr partial sums -> psum."""
+
+    def partials(poses, points, obs: ba.BAObservations):
+        def body(poses, points, obs):
+            parts = ba.ba_partials(poses, points, obs)
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, SHARD_AXIS), parts
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(SHARD_AXIS)),
+            out_specs=P(),
+            check_rep=False,
+        )(poses, points, obs)
+
+    return partials
+
+
+def sharded_pose_graph_normal_eqs(mesh: Mesh, poses, g: ba.PoseGraph):
+    """Edge-sharded pose-graph normal equations: partial H/b psum'd."""
+
+    def body(poses, g):
+        H, b, cost = ba.pose_graph_normal_eqs(poses, g)
+        return (
+            jax.lax.psum(H, SHARD_AXIS),
+            jax.lax.psum(b, SHARD_AXIS),
+            jax.lax.psum(cost, SHARD_AXIS),
+        )
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS)),
+        out_specs=P(),
+        check_rep=False,
+    )(poses, g)
