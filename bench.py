@@ -42,6 +42,8 @@ def main() -> None:
     grid = int(os.environ.get("BENCH_GRID", "512"))
     nframes = int(os.environ.get("BENCH_FRAMES", "30"))
     map_kind = os.environ.get("BENCH_MAP", "blocks")
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1" if on_tpu else "0") == "1"
     warmup = 3
 
     extent = grid * 0.0075  # keep the synthetic room inside the volume
@@ -54,10 +56,11 @@ def main() -> None:
             origin=(-extent, -extent, 1.2 - extent),
             block_size=8,
             table_capacity=65536,
+            use_pallas=use_pallas,
         ),
-        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0),
+        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas),
         raycast=RaycastConfig(near=0.2, far=4.0),
-        preprocess=PreprocessConfig(),
+        preprocess=PreprocessConfig(use_pallas=use_pallas),
         map_kind=map_kind,
         use_color=True,
     )

@@ -26,6 +26,9 @@ class IcpConfig:
     rgb_weight: float = 0.1
     damping: float = 1e-6  # Levenberg-style diagonal damping for the 6x6 solve
     min_valid: int = 100  # tracking-health gate: min associated pixels
+    # Use the Pallas fused normal-equation reduction (TPU; association
+    # gather stays in XLA — see ops/pallas/icp.py).
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +44,8 @@ class TsdfConfig:
     # Sparse block map (config 2+):
     block_size: int = 8  # voxels per block edge
     table_capacity: int = 16384  # max live blocks (hash-table slots)
+    # Use the Pallas fused payload-update kernels (TPU; ops/pallas/tsdf.py).
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +63,8 @@ class PreprocessConfig:
     bilateral_sigma_depth: float = 0.04  # m
     depth_min: float = 0.1  # m, clamp
     depth_max: float = 5.0  # m
+    # Use the Pallas fused bilateral+vmap+nmap kernel (TPU).
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

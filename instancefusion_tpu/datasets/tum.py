@@ -135,8 +135,36 @@ class TumSequence:
         T = self._gt.get(idx) if self._gt else None
         return TumFrame(depth=depth, color=rgb, timestamp=ts, T_wc=T)
 
-    def frames(self, limit: int | None = None) -> Iterator[TumFrame]:
+    def frames(
+        self, limit: int | None = None, prefer_native: bool = True
+    ) -> Iterator[TumFrame]:
+        """Iterate frames; uses the C++ prefetching decoder when built.
+
+        The native path (native/dataloader.cpp via ctypes) overlaps
+        PNG decode with device compute; PIL decode is the fallback.
+        """
         n = len(self.items) if limit is None else min(limit, len(self.items))
+        if prefer_native and n:
+            try:
+                from instancefusion_tpu.datasets import native_loader
+
+                if native_loader.available():
+                    first = self._load(0)
+                    h, w = first.depth.shape
+                    seq = native_loader.NativeSequence(self.root, w, h)
+                    for i, (depth, rgb, ts) in enumerate(seq):
+                        if i >= n:
+                            break
+                        yield TumFrame(
+                            depth=depth,
+                            color=rgb.astype(np.float32) / 255.0,
+                            timestamp=ts,
+                            T_wc=self._gt.get(i) if self._gt else None,
+                        )
+                    seq.close()
+                    return
+            except Exception:
+                pass  # fall back to PIL below
         for i in range(n):
             yield self._load(i)
 

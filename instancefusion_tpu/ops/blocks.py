@@ -205,17 +205,37 @@ def integrate(
 
     sdf_old = bm.sdf[slots]
     w_old = bm.weight[slots]
+    has_color = color is not None and bm.color.size
+    out_slots = jnp.where(valid, slots, bm.sdf.shape[0])  # OOB -> dropped
+
+    if cfg.use_pallas and has_color:
+        # Fused read-modify-write of all payload planes in one pass
+        # (ops/pallas/tsdf.py); association gather above stays XLA.
+        from instancefusion_tpu.ops.pallas.tsdf import fused_tsdf_update
+
+        c_old = bm.color[slots]
+        c_obs = color[vic, uic]
+        sdf_new, w_new, cr, cg, cb = fused_tsdf_update(
+            sdf_old, w_old, c_old[..., 0], c_old[..., 1], c_old[..., 2],
+            psi, w_obs, c_obs[..., 0], c_obs[..., 1], c_obs[..., 2],
+            cfg.max_weight, interpret=jax.default_backend() != "tpu")
+        c_new = jnp.stack([cr, cg, cb], axis=-1)
+        return bm._replace(
+            sdf=bm.sdf.at[out_slots].set(sdf_new, mode="drop"),
+            weight=bm.weight.at[out_slots].set(w_new, mode="drop"),
+            color=bm.color.at[out_slots].set(c_new, mode="drop"),
+        )
+
     w_new = w_old + w_obs
     denom = jnp.maximum(w_new, 1e-6)
     sdf_new = (sdf_old * w_old + psi * w_obs) / denom
     w_new = jnp.minimum(w_new, cfg.max_weight)
 
-    out_slots = jnp.where(valid, slots, bm.sdf.shape[0])  # OOB -> dropped
     new_sdf = bm.sdf.at[out_slots].set(sdf_new, mode="drop")
     new_w = bm.weight.at[out_slots].set(w_new, mode="drop")
 
     new_color = bm.color
-    if color is not None and bm.color.size:
+    if has_color:
         c_old = bm.color[slots]
         c_obs = color[vic, uic]
         c_new = (c_old * w_old[..., None] + c_obs * w_obs[..., None]) / denom[..., None]
@@ -372,7 +392,8 @@ def raycast(
     dirs_w = dirs_w / jnp.maximum(ray_norm[..., None], 1e-12)
 
     fine = cfg.step_scale * tsdf_cfg.trunc
-    skip = 0.9 * tsdf_cfg.block_size * tsdf_cfg.voxel_size
+    bsz = tsdf_cfg.block_size * tsdf_cfg.voxel_size
+    map_origin = jnp.asarray(tsdf_cfg.origin, jnp.float32)
     # Budget: enough fine steps to cross the in-band distance plus skips
     # across the whole range. Worst case all-fine is bounded by max_steps.
     max_steps = int((cfg.far - cfg.near) / fine) + 1
@@ -382,6 +403,25 @@ def raycast(
 
     def point_at(t):
         return origin_w + t[..., None] * dirs_w
+
+    def boundary_step(p):
+        """Distance along the ray to the next block boundary (DDA skip).
+
+        Skipping a fixed fraction of a block can overshoot past a surface
+        whose approach side is unallocated (e.g. the far side of a slab
+        seam in the sharded map): the march must always land at an
+        occupied block's entry face, never inside it.
+        """
+        g = (p - map_origin) / bsz
+        step_dir = jnp.where(dirs_w >= 0.0, 1.0, 0.0)
+        nxt = (jnp.floor(g) + step_dir) * bsz + map_origin
+        safe_dir = jnp.where(jnp.abs(dirs_w) > 1e-9, dirs_w, 1e-9)
+        dt_axis = (nxt - p) / safe_dir
+        dt_axis = jnp.where(jnp.abs(dirs_w) > 1e-9, dt_axis, jnp.inf)
+        t_bound = jnp.min(jnp.maximum(dt_axis, 0.0), axis=-1)
+        # Epsilon past the boundary; floor guarantees progress on-edge.
+        return jnp.maximum(t_bound + 0.05 * tsdf_cfg.voxel_size,
+                           0.1 * tsdf_cfg.voxel_size)
 
     def body(_, carry):
         t, prev_sdf, prev_valid, t_lo, t_hi, s_lo, s_hi, found = carry
@@ -395,7 +435,7 @@ def raycast(
         s_lo = jnp.where(crossing, prev_sdf, s_lo)
         s_hi = jnp.where(crossing, s, s_hi)
         found = found | crossing
-        dt = jnp.where(found, 0.0, jnp.where(occ, fine, skip))
+        dt = jnp.where(found, 0.0, jnp.where(occ, fine, boundary_step(p)))
         t_next = jnp.minimum(t + dt, cfg.far)
         return t_next, s, v & occ, t_lo, t_hi, s_lo, s_hi, found
 

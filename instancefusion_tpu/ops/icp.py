@@ -89,9 +89,15 @@ def build_normal_equations(
         & (dist < cfg.dist_thresh)
         & (n_dot > cfg.angle_thresh)
     )
+    m = mask.astype(jnp.float32)
+    if cfg.use_pallas:
+        # Fused residual/jacobian/29-term reduction in one HBM pass
+        # (ops/pallas/icp.py); identical for binary masks (m^2 = m).
+        from instancefusion_tpu.ops.pallas.icp import reduce_normal_equations
+
+        return reduce_normal_equations(p_w, n_t, q_w, m, interpret=jax.default_backend() != "tpu")
     r = jnp.sum(n_t * diff, axis=-1)  # point-to-plane residual
     J = jnp.concatenate([n_t, jnp.cross(p_w, n_t)], axis=-1)  # (HW, 6)
-    m = mask.astype(jnp.float32)
     Jm = J * m[:, None]
     # The "27-float reduction": one small matmul on the MXU.
     H6 = jnp.matmul(Jm.T, Jm, precision=_PREC)

@@ -86,11 +86,19 @@ def fuse(
 
     lab = votes.label[slots]
     cnt = votes.count[slots]
-    adopt = obs & (cnt <= 0.0)
-    same = obs & (lab == gid) & ~adopt
-    other = obs & ~adopt & ~same
-    lab_new = jnp.where(adopt, gid, lab)
-    cnt_new = jnp.where(adopt, 1.0, jnp.where(same, cnt + 1.0, jnp.where(other, cnt - 1.0, cnt)))
+    if cfg.use_pallas:
+        from instancefusion_tpu.ops.pallas.tsdf import fused_label_vote
+
+        lab_new, cnt_new = fused_label_vote(
+            lab, cnt, gid, obs.astype(jnp.float32), interpret=jax.default_backend() != "tpu")
+    else:
+        adopt = obs & (cnt <= 0.0)
+        same = obs & (lab == gid) & ~adopt
+        other = obs & ~adopt & ~same
+        lab_new = jnp.where(adopt, gid, lab)
+        cnt_new = jnp.where(
+            adopt, 1.0, jnp.where(same, cnt + 1.0, jnp.where(other, cnt - 1.0, cnt))
+        )
 
     out_slots = jnp.where(valid, slots, votes.label.shape[0])
     return LabelVotes(

@@ -119,16 +119,32 @@ def build_frame_pyramid(
 
     Returns a list over levels (fine -> coarse) of dicts with keys
     'depth', 'vmap', 'nmap', 'valid', optionally 'intensity'.
+
+    With cfg.use_pallas the level-0 clamp/bilateral/vmap/nmap run as ONE
+    fused Pallas pass (ops/pallas/preprocess.py); coarser levels are tiny
+    and stay jnp.
     """
-    depth = clamp_depth(depth, cfg)
-    depth = bilateral_filter(depth, cfg)
+    fused0 = None
+    if cfg.use_pallas:
+        from instancefusion_tpu.ops.pallas.preprocess import fused_preprocess
+
+        df, vmap0, nmap0, valid0 = fused_preprocess(depth, intr, cfg, interpret=jax.default_backend() != "tpu")
+        fused0 = {"vmap": vmap0, "nmap": nmap0, "valid": valid0 & (df > 0.0)}
+        depth = df
+    else:
+        depth = clamp_depth(depth, cfg)
+        depth = bilateral_filter(depth, cfg)
     out = []
     d = depth
     i = intensity
     for lvl in range(levels):
         il = intr.level(lvl)
-        vmap = backproject(il, d)
-        nmap, nvalid = compute_normals(vmap)
+        if lvl == 0 and fused0 is not None:
+            vmap, nmap = fused0["vmap"], fused0["nmap"]
+            nvalid = fused0["valid"]
+        else:
+            vmap = backproject(il, d)
+            nmap, nvalid = compute_normals(vmap)
         entry = {
             "depth": d,
             "vmap": vmap,

@@ -1,0 +1,151 @@
+"""Pallas kernels vs jnp goldens, interpret mode (SURVEY §5: kernel unit
+tests run on the CPU backend with interpret=True so CI needs no TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instancefusion_tpu.config import PreprocessConfig
+from instancefusion_tpu.datasets import synthetic
+from instancefusion_tpu.ops import icp as icp_jnp, preprocess as pp_jnp
+from instancefusion_tpu.ops.pallas import icp as icp_pl, preprocess as pp_pl, tsdf as tsdf_pl
+from instancefusion_tpu.geometry.se3 import se3_exp
+from tests.helpers import SMALL_INTR
+
+CFG = PreprocessConfig()
+
+
+def _frame():
+    return synthetic.render_frame(synthetic.orbit_trajectory(3)[1], SMALL_INTR)
+
+
+def test_fused_preprocess_matches_jnp():
+    f = _frame()
+    df, vmap, nmap, valid = pp_pl.fused_preprocess(
+        f.depth, SMALL_INTR, CFG, interpret=True
+    )
+    ref = pp_jnp.build_frame_pyramid(f.depth, SMALL_INTR, CFG, 1)[0]
+    np.testing.assert_allclose(np.asarray(df), np.asarray(ref["depth"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vmap), np.asarray(ref["vmap"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref["valid"]))
+    v = np.asarray(valid)
+    np.testing.assert_allclose(np.asarray(nmap)[v], np.asarray(ref["nmap"])[v],
+                               atol=1e-3)
+
+
+def test_icp_reduction_matches_jnp():
+    rng = np.random.default_rng(0)
+    n = 10_000
+    p = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
+    nt = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
+    nt = nt / jnp.linalg.norm(nt, axis=-1, keepdims=True)
+    q = p + jnp.asarray(rng.normal(0, 0.01, (n, 3)).astype(np.float32))
+    m = jnp.asarray((rng.random(n) > 0.3).astype(np.float32))
+
+    H, b, inl, rs = icp_pl.reduce_normal_equations(p, nt, q, m, interpret=True)
+
+    r = jnp.sum(nt * (p - q), axis=-1)
+    J = jnp.concatenate([nt, jnp.cross(p, nt)], axis=-1)
+    Jm = J * m[:, None]
+    H_ref = Jm.T @ Jm
+    b_ref = -(Jm.T @ (r * m))
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_ref), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref), rtol=2e-3, atol=2e-3)
+    assert abs(float(inl) - float(m.sum())) < 1.0
+    np.testing.assert_allclose(float(rs), float(jnp.sum(jnp.abs(r) * m)), rtol=1e-3)
+
+
+def test_icp_reduction_feeds_solver():
+    """End-to-end sanity: a known small transform is recovered from the
+    Pallas-reduced normal equations."""
+    rng = np.random.default_rng(1)
+    n = 5_000
+    q = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    nt = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
+    nt = nt / jnp.linalg.norm(nt, axis=-1, keepdims=True)
+    xi_true = jnp.asarray([0.004, -0.002, 0.003, 0.002, -0.001, 0.0015])
+    T = se3_exp(xi_true)
+    p = q @ T[:3, :3].T + T[:3, 3]
+    m = jnp.ones((n,))
+    H, b, _, _ = icp_pl.reduce_normal_equations(p, nt, q, m, interpret=True)
+    xi = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), b)
+    # Solving drives p back onto q: xi ~= -xi_true (left-composed).
+    np.testing.assert_allclose(np.asarray(xi), -np.asarray(xi_true), atol=5e-4)
+
+
+def test_fused_tsdf_update_matches_reference():
+    rng = np.random.default_rng(2)
+    k = 100
+    sdf = jnp.asarray(rng.uniform(-1, 1, (k, 512)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 30, (k, 512)).astype(np.float32))
+    c = [jnp.asarray(rng.uniform(0, 1, (k, 512)).astype(np.float32)) for _ in range(3)]
+    psi = jnp.asarray(rng.uniform(-1, 1, (k, 512)).astype(np.float32))
+    wo = jnp.asarray((rng.random((k, 512)) > 0.5).astype(np.float32))
+    o = [jnp.asarray(rng.uniform(0, 1, (k, 512)).astype(np.float32)) for _ in range(3)]
+
+    s2, w2, r2, g2, b2 = tsdf_pl.fused_tsdf_update(
+        sdf, w, *c, psi, wo, *o, 64.0, True
+    )
+    denom = jnp.maximum(w + wo, 1e-6)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray((sdf * w + psi * wo) / denom),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(jnp.minimum(w + wo, 64.0)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray((c[0] * w + o[0] * wo) / denom),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_label_vote_matches_boyer_moore():
+    rng = np.random.default_rng(3)
+    k = 40
+    lab = jnp.asarray(rng.integers(-1, 5, (k, 512)).astype(np.int32))
+    cnt = jnp.asarray(rng.integers(0, 4, (k, 512)).astype(np.float32))
+    gid = jnp.asarray(rng.integers(0, 5, (k, 512)).astype(np.int32))
+    obs = jnp.asarray((rng.random((k, 512)) > 0.4).astype(np.float32))
+
+    l2, c2 = tsdf_pl.fused_label_vote(lab, cnt, gid, obs, True)
+
+    ob = np.asarray(obs) > 0
+    adopt = ob & (np.asarray(cnt) <= 0)
+    same = ob & (np.asarray(lab) == np.asarray(gid)) & ~adopt
+    other = ob & ~adopt & ~same
+    l_ref = np.where(adopt, np.asarray(gid), np.asarray(lab))
+    c_ref = np.where(adopt, 1.0, np.where(same, np.asarray(cnt) + 1,
+                     np.where(other, np.asarray(cnt) - 1, np.asarray(cnt))))
+    np.testing.assert_array_equal(np.asarray(l2), l_ref)
+    np.testing.assert_allclose(np.asarray(c2), c_ref)
+
+
+def test_engine_step_with_pallas_matches_jnp():
+    """Two engine steps with every use_pallas flag on (interpret mode on
+    CPU) vs the jnp engine: poses must agree to float tolerance."""
+    import dataclasses
+
+    from instancefusion_tpu.engine import slam
+    from tests.helpers import SMALL_CFG, SMALL_TSDF
+
+    base = dataclasses.replace(
+        SMALL_CFG,
+        map_kind="blocks",
+        tsdf=dataclasses.replace(SMALL_TSDF, block_size=8, table_capacity=1728),
+        icp=dataclasses.replace(SMALL_CFG.icp, iters=(4, 3, 3)),
+    )
+    pall = dataclasses.replace(
+        base,
+        icp=dataclasses.replace(base.icp, use_pallas=True),
+        tsdf=dataclasses.replace(base.tsdf, use_pallas=True),
+        preprocess=dataclasses.replace(base.preprocess, use_pallas=True),
+    )
+    poses = synthetic.orbit_trajectory(3)
+    frames = [synthetic.render_frame(poses[i], SMALL_INTR) for i in range(2)]
+
+    s_a = slam.init_state(base, poses[0])
+    s_b = slam.init_state(pall, poses[0])
+    for f in frames:
+        s_a, info_a = slam.step(base, s_a, f.depth, f.color)
+        s_b, info_b = slam.step(pall, s_b, f.depth, f.color)
+    np.testing.assert_allclose(np.asarray(s_b.T_wc), np.asarray(s_a.T_wc),
+                               atol=1e-4)
+    assert abs(float(info_b.inliers) - float(info_a.inliers)) < 50
