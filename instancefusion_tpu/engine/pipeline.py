@@ -57,6 +57,7 @@ def run(
     checkpoint_every: int = 200,
     enable_loops: bool = True,
     resume: bool = False,
+    relocalize_after: int = 5,
 ) -> PipelineResult:
     """Run the full pipeline over `frames` (iterable of dataset Frames).
 
@@ -86,6 +87,49 @@ def run(
     for i, frame in enumerate(frames):
         if i < start_frame:
             continue
+        # Failure recovery (SURVEY §6): after `relocalize_after` consecutive
+        # tracking failures the pose is likely gone — query the fern
+        # database with the raw frame, verify against the retrieved
+        # keyframe by ICP, and re-seat the pose there.  The reference
+        # recovers only implicitly via its fern loop closures; this makes
+        # the same machinery an explicit relocalization mode.
+        relocalized = False
+        if (
+            enable_loops
+            and relocalize_after > 0
+            and int(state.lost_frames) >= relocalize_after
+            and int(backend.kf.count) > 0
+        ):
+            with timer.phase("relocalize"):
+                d = preprocess.clamp_depth(frame.depth, cfg.preprocess)
+                pyr = preprocess.build_frame_pyramid(d, cfg.intrinsics, cfg.preprocess, 1)
+                cand, diss = pg.detect_loop(
+                    backend, frame.color, frame.depth, min_gap=0
+                )
+                if float(diss) < 2 * pgc.loop_dist_thresh:
+                    T_cand = backend.kf.poses[cand]
+                    T_rel, inliers, ok = pg.verify_loop(
+                        backend, cand, pyr[0]["vmap"], pyr[0]["nmap"],
+                        cfg.intrinsics, cfg, T_cur_wc=T_cand,
+                    )
+                    if bool(ok):
+                        T_new = jnp.matmul(T_cand, T_rel, precision=_PREC)
+                        # Re-render the model prediction from the re-seated
+                        # pose: the stale prediction views the wrong part of
+                        # the map and would starve the next ICP of
+                        # associations.
+                        pred = slam._map_ops(cfg).raycast(
+                            state.volume, T_new, cfg.intrinsics, cfg.tsdf,
+                            cfg.raycast, with_color=cfg.use_color,
+                        )
+                        state = state._replace(
+                            T_wc=T_new,
+                            pred=pred,
+                            pred_T_wc=T_new,
+                            lost_frames=jnp.zeros((), jnp.int32),
+                        )
+                        relocalized = True
+
         seg = segment_fn(frame) if segment_fn is not None else None
         with timer.phase("step"):
             if seg is not None and cfg.use_instances:
@@ -93,7 +137,13 @@ def run(
             else:
                 state, info = slam.step(cfg, state, frame.depth, frame.color)
 
-        is_kf = enable_loops and (i % pgc.keyframe_every == 0)
+        # Keyframes only from frames that tracked (a lost frame would
+        # poison the fern database and the odometry chain).
+        is_kf = (
+            enable_loops
+            and (i % pgc.keyframe_every == 0)
+            and bool(info.track_ok)
+        )
         closed = False
         if is_kf:
             with timer.phase("keyframe"):
@@ -138,6 +188,7 @@ def run(
                     "track_ok": bool(info.track_ok),
                     "keyframe": bool(is_kf),
                     "loop_closed": closed,
+                    "relocalized": relocalized,
                     "lost_frames": int(state.lost_frames),
                     **{f"t_{k}_ms": round(v, 2) for k, v in timer.times_ms.items()},
                 }

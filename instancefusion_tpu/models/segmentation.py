@@ -173,3 +173,77 @@ def init_params(rng, height: int, width_px: int, num_classes: int, width: int = 
     model = PanopticHead(num_classes=num_classes, width=width)
     dummy = jnp.zeros((height, width_px, 3), jnp.float32)
     return model.init(rng, dummy)
+
+
+# --------------------------------------------------------------------------
+# Training (the reference consumes a pretrained Mask R-CNN; this head is
+# trainable in-framework so the segmentation component is self-contained)
+# --------------------------------------------------------------------------
+
+
+def targets_from_instances(
+    instance_img: jnp.ndarray,  # i32[H,W] ground-truth instance ids, -1 none
+    class_of_instance: jnp.ndarray,  # i32[K] semantic class per id (0 = bg)
+    sigma: float = 4.0,
+):
+    """Panoptic-DeepLab training targets from instance-id ground truth.
+
+    Returns (sem i32[H,W], center f32[H,W], offset f32[H,W,2]): semantic
+    class per pixel, a Gaussian bump at each instance's centroid, and the
+    per-pixel vector to its instance centroid.
+    """
+    h, w = instance_img.shape
+    k = class_of_instance.shape[0]
+    ids = jnp.clip(instance_img, 0, k - 1)
+    valid = instance_img >= 0
+    sem = jnp.where(valid, class_of_instance[ids], 0)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    onehot = jax.nn.one_hot(jnp.where(valid, instance_img, k), k + 1)[..., :k]
+    count = jnp.sum(onehot, axis=(0, 1))  # (K,)
+    cy = jnp.sum(onehot * yy[..., None], axis=(0, 1)) / jnp.maximum(count, 1.0)
+    cx = jnp.sum(onehot * xx[..., None], axis=(0, 1)) / jnp.maximum(count, 1.0)
+
+    d2 = (yy[..., None] - cy) ** 2 + (xx[..., None] - cx) ** 2  # (H,W,K)
+    bump = jnp.exp(-d2 / (2.0 * sigma * sigma))
+    bump = jnp.where(count[None, None, :] > 0, bump, 0.0)
+    center = jnp.max(bump, axis=-1)
+
+    off_y = jnp.sum(onehot * cy, axis=-1) - yy
+    off_x = jnp.sum(onehot * cx, axis=-1) - xx
+    offset = jnp.where(
+        valid[..., None], jnp.stack([off_y, off_x], axis=-1), 0.0
+    )
+    return sem, center, offset
+
+
+def loss_fn(params, rgb, sem_t, center_t, offset_t, num_classes: int,
+            width: int = 32, center_weight: float = 10.0,
+            offset_weight: float = 0.1):
+    """Combined loss: semantic CE + center MSE + masked offset L1."""
+    model = PanopticHead(num_classes=num_classes, width=width)
+    sem, center, offset = model.apply(params, rgb)
+    ce = -jnp.mean(
+        jnp.take_along_axis(
+            jax.nn.log_softmax(sem, axis=-1), sem_t[..., None], axis=-1
+        )
+    )
+    cm = jnp.mean((jax.nn.sigmoid(center) - center_t) ** 2)
+    fg = (sem_t > 0).astype(jnp.float32)[..., None]
+    ol = jnp.sum(jnp.abs(offset - offset_t) * fg) / jnp.maximum(jnp.sum(fg), 1.0)
+    total = ce + center_weight * cm + offset_weight * ol
+    return total, {"ce": ce, "center": cm, "offset": ol}
+
+
+def train_step(params, opt_state, rgb, targets, tx, num_classes: int,
+               width: int = 32):
+    """One optax update on a single frame (or vmapped batch upstream)."""
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, rgb, *targets, num_classes=num_classes, width=width
+    )
+    updates, opt_state = tx.update(grads, opt_state, params)
+    import optax
+
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, aux

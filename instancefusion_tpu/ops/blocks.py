@@ -479,3 +479,60 @@ def raycast(
         color=jnp.where(valid[..., None], color, 0.0),
         valid=valid,
     )
+
+
+def clean(
+    bm: BlockMap,
+    cfg: TsdfConfig,
+    min_weight: float = 1.0,
+    votes=None,
+):
+    """Cull low-confidence blocks and compact the slot space.
+
+    The reference's `GlobalModel::clean` drops surfels below a confidence
+    threshold (SURVEY.md §4.2); the block-map analog removes blocks whose
+    best voxel weight never reached `min_weight` (one-off noise / depth
+    speckle) and compacts surviving payload rows to the front so capacity
+    is reclaimed — allocation stays a monotonic prefix-sum counter.
+
+    Returns (bm, votes) with `votes` compacted consistently when given
+    (instance label planes ride the same slot space).
+    """
+    c = bm.sdf.shape[0]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    allocated = slot_ids < bm.n_active
+    best_w = jnp.max(bm.weight, axis=1)
+    live = allocated & (best_w >= min_weight)
+    n_live = jnp.sum(live.astype(jnp.int32))
+
+    # Stable partition: live rows first, original order preserved.
+    perm = jnp.argsort(jnp.logical_not(live), stable=True)
+    order = jnp.cumsum(live.astype(jnp.int32)) - 1  # old slot -> new slot
+
+    def take(arr, fill):
+        out = arr[perm]
+        keep = jax.lax.broadcasted_iota(jnp.int32, (out.shape[0], 1), 0)[:, 0] < n_live
+        shape = (out.shape[0],) + (1,) * (out.ndim - 1)
+        return jnp.where(keep.reshape(shape), out, fill)
+
+    dir_flat = bm.directory.reshape(-1)
+    has = dir_flat >= 0
+    src = jnp.clip(dir_flat, 0, c - 1)
+    dir_new = jnp.where(has & live[src], order[src], -1).astype(jnp.int32)
+
+    bm_new = BlockMap(
+        directory=dir_new.reshape(bm.directory.shape),
+        block_coords=take(bm.block_coords, -1),
+        n_active=n_live,
+        overflow=bm.overflow,
+        sdf=take(bm.sdf, 1.0),
+        weight=take(bm.weight, 0.0),
+        color=take(bm.color, 0.0) if bm.color.size else bm.color,
+    )
+    if votes is None:
+        return bm_new, None
+    votes_new = type(votes)(
+        label=take(votes.label, -1),
+        count=take(votes.count, 0.0),
+    )
+    return bm_new, votes_new

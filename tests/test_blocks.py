@@ -173,3 +173,45 @@ def test_empty_map_raycast_all_invalid():
     bm = blocks.allocate(CFG)
     m = blocks.raycast(bm, jnp.eye(4), SMALL_INTR, CFG, RC)
     assert not bool(jnp.any(m.valid))
+
+
+def test_clean_culls_and_compacts():
+    f = _frame()
+    bm = blocks.allocate(CFG)
+    bm = blocks.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, CFG)
+    bm = blocks.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, CFG)
+    n0 = int(bm.n_active)
+    # Sabotage a third of the slots: weights below the cull threshold.
+    import numpy as _np
+
+    kill = _np.arange(0, n0, 3)
+    w = _np.array(bm.weight)
+    w[kill] = 0.25
+    bm = bm._replace(weight=jnp.asarray(w))
+
+    from instancefusion_tpu.ops import labels as lbl
+
+    votes = lbl.allocate(CFG)
+    bm2, votes2 = blocks.clean(bm, CFG, min_weight=1.0, votes=votes)
+    n1 = int(bm2.n_active)
+    # Expected survivors: allocated rows whose best weight clears the bar
+    # (the sabotaged rows plus any never-observed band-edge blocks go).
+    expected = int((_np.asarray(w[:n0]).max(axis=1) >= 1.0).sum())
+    assert n1 == expected
+    assert n1 <= n0 - len(kill)
+    # Directory consistency: every directory entry points at a live row
+    # whose coords match.
+    d = _np.asarray(bm2.directory)
+    coords = _np.asarray(bm2.block_coords)
+    ii, jj, kk = _np.nonzero(d >= 0)
+    assert len(ii) == n1
+    for a, b, c in zip(ii[:50], jj[:50], kk[:50]):
+        s = d[a, b, c]
+        assert (coords[s] == (a, b, c)).all()
+    # Surviving payload intact: weights of kept rows are >= threshold.
+    assert float(jnp.max(bm2.weight[:n1].max(axis=1).min())) >= 1.0
+    # Raycast still works and finds the surface.
+    m = blocks.raycast(bm2, f.T_wc, SMALL_INTR, CFG, RC)
+    assert int(m.valid.sum()) > 1000
+    # Votes compacted in lockstep (all unlabeled here, shapes preserved).
+    assert votes2.label.shape == votes.label.shape

@@ -146,3 +146,31 @@ def test_engine_instance_fusion_end_to_end():
         vals, counts = np.unique(gt[sel], return_counts=True)
         acc_num += counts.max()
     assert acc_num / ok.sum() > 0.9
+
+
+def test_segmentation_training_reduces_loss():
+    """The head trains: a few optax steps on one synthetic frame with GT
+    panoptic targets reduce the combined loss (SURVEY §3: the component
+    must be trainable in-framework, not a frozen stub)."""
+    import optax
+
+    f = synthetic.render_frame(synthetic.orbit_trajectory(3)[1], SMALL_INTR)
+    small = jax.image.resize(f.color, (60, 80, 3), "linear")
+    inst = jax.image.resize(
+        f.instance.astype(jnp.float32), (60, 80), "nearest"
+    ).astype(jnp.int32)
+    cls = jnp.arange(8, dtype=jnp.int32) + 1
+    targets = segm.targets_from_instances(inst, cls[:8])
+
+    params = segm.init_params(jax.random.PRNGKey(0), 60, 80, num_classes=9, width=8)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    step = jax.jit(
+        lambda p, o, rgb, t: segm.train_step(p, o, rgb, t, tx, 9, 8),
+    )
+    losses = []
+    for _ in range(12):
+        params, opt_state, loss, aux = step(params, opt_state, small, targets)
+        losses.append(float(loss))
+    assert losses[-1] < 0.75 * losses[0], losses
