@@ -167,3 +167,28 @@ def associate(
     # Masks that got no gid (-1 per-mask) must not leak id -1 ambiguity:
     # einsum already yields -1 for them, matching "none".
     return gid_image.reshape(seg.mask_id.shape), table
+
+
+def retire_stale(
+    table: InstanceTable, cfg: InstanceConfig, min_matches: int = 2,
+    probation_age: int = 30,
+) -> InstanceTable:
+    """Retire instances that never got re-observed (spurious masks).
+
+    The reference's instance table drops instances whose masks stop
+    matching (SURVEY.md §4.5 "instance table update: create / merge /
+    confirm"); here a row older than `probation_age` frames with fewer
+    than `min_matches` re-observations is freed.  Freed rows become
+    allocatable again (associate() scans ~active).
+    """
+    stale = table.active & (table.age > probation_age) & (
+        table.matches < min_matches
+    )
+    keep = table.active & ~stale
+    return table._replace(
+        active=keep,
+        cls=jnp.where(keep, table.cls, 0),
+        score=jnp.where(keep, table.score, 0.0),
+        age=jnp.where(keep, table.age, 0),
+        matches=jnp.where(keep, table.matches, 0),
+    )

@@ -58,6 +58,8 @@ def run(
     enable_loops: bool = True,
     resume: bool = False,
     relocalize_after: int = 5,
+    clean_every: int = 0,
+    retire_every: int = 0,
 ) -> PipelineResult:
     """Run the full pipeline over `frames` (iterable of dataset Frames).
 
@@ -177,6 +179,28 @@ def run(
                         )
                         n_loops += 1
                         closed = True
+
+        # Map hygiene at low cadence: confidence culling + slot compaction
+        # (GlobalModel::clean analog) and instance-table retirement.
+        if (
+            clean_every
+            and cfg.map_kind == "blocks"
+            and (i + 1) % clean_every == 0
+        ):
+            from instancefusion_tpu.ops import blocks as blk
+
+            volume, votes = blk.clean(
+                state.volume, cfg.tsdf, min_weight=1.0, votes=state.votes
+            )
+            state = state._replace(volume=volume, votes=votes)
+        if (
+            retire_every
+            and cfg.use_instances
+            and (i + 1) % retire_every == 0
+        ):
+            state = state._replace(
+                table=inst.retire_stale(state.table, cfg.instances)
+            )
 
         est.append(np.asarray(state.T_wc))
         if metrics is not None:

@@ -207,7 +207,7 @@ def integrate(
             P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
             P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     directory, coords, n_active, overflow, sdf, w, col = fn(
         bm.directory, bm.block_coords, bm.n_active, bm.overflow,
@@ -375,7 +375,7 @@ def raycast(
         mesh=mesh,
         in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(bm.directory, bm.block_coords, bm.sdf, bm.weight, bm.color, T_wc)
 
@@ -401,7 +401,7 @@ def sharded_ba_partials(mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), P(), P(SHARD_AXIS)),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(poses, points, obs)
 
     return partials
@@ -423,5 +423,5 @@ def sharded_pose_graph_normal_eqs(mesh: Mesh, poses, g: ba.PoseGraph):
         mesh=mesh,
         in_specs=(P(), P(SHARD_AXIS)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(poses, g)

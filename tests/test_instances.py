@@ -174,3 +174,19 @@ def test_segmentation_training_reduces_loss():
         params, opt_state, loss, aux = step(params, opt_state, small, targets)
         losses.append(float(loss))
     assert losses[-1] < 0.75 * losses[0], losses
+
+
+def test_retire_stale_frees_rows():
+    table = inst.allocate(ICFG)
+    f = synthetic.render_frame(synthetic.orbit_trajectory(3)[1], SMALL_INTR)
+    seg = gt_segmentation(f, ICFG.max_instances)
+    gid, table = inst.associate(table, seg, jnp.full(f.instance.shape, -1), ICFG)
+    n0 = int(table.active.sum())
+    # Age everyone past probation with zero matches -> all retired.
+    table = table._replace(age=jnp.full_like(table.age, 100))
+    table2 = inst.retire_stale(table, ICFG, min_matches=1, probation_age=30)
+    assert int(table2.active.sum()) == 0
+    # Matched instances survive.
+    table3 = table._replace(matches=jnp.full_like(table.matches, 5))
+    table3 = inst.retire_stale(table3, ICFG, min_matches=1, probation_age=30)
+    assert int(table3.active.sum()) == n0

@@ -129,3 +129,36 @@ def test_sharded_schur_ba_matches_single(mesh):
     )
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-4)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=1e-4)
+
+
+def test_fault_injection_shard_loss_degrades_gracefully(mesh):
+    """SURVEY §6 fault injection: wipe one shard's payload (host loss) —
+    compositing must stay finite, surviving shards keep their surface, and
+    the wiped slab simply disappears (recovery = checkpoint restore,
+    exercised in tests/test_pipeline.py)."""
+    from instancefusion_tpu.geometry.camera import Intrinsics
+
+    tiny = Intrinsics(fx=64.6, fy=64.5, cx=39.5, cy=29.5, width=80, height=60)
+    f = synthetic.render_frame(synthetic.orbit_trajectory(2)[0], tiny)
+    sh = shard.integrate(
+        shard.allocate(CFG, NSHARDS), f.depth, f.color, f.T_wc, mesh, tiny, CFG
+    )
+    healthy = shard.raycast(sh, f.T_wc, mesh, tiny, CFG, RC)
+    n_healthy = int(healthy.valid.sum())
+    assert n_healthy > 500
+
+    # Wipe shard 1's rows (weights to zero = unobserved).
+    cl = sh.sdf.shape[0] // NSHARDS
+    w = np.array(sh.weight)
+    w[cl : 2 * cl] = 0.0
+    sh_broken = sh._replace(weight=jnp.asarray(w))
+    broken = shard.raycast(sh_broken, f.T_wc, mesh, tiny, CFG, RC)
+    n_broken = int(broken.valid.sum())
+    assert np.isfinite(np.asarray(broken.depth)).all()
+    assert 0 < n_broken < n_healthy
+    # Pixels that survive agree with the healthy map.
+    both = np.asarray(broken.valid) & np.asarray(healthy.valid)
+    np.testing.assert_allclose(
+        np.asarray(broken.depth)[both], np.asarray(healthy.depth)[both],
+        atol=5e-3,
+    )
