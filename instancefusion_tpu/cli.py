@@ -34,6 +34,10 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--export-traj", default=None,
                    help="write the trajectory in TUM format here")
+    p.add_argument("--export-mesh", default=None,
+                   help="write the reconstructed mesh (PLY) here")
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace (Perfetto/XProf) to this dir")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -75,9 +79,20 @@ def cmd_run(args: argparse.Namespace) -> int:
         gt = np.asarray(poses)
         T0 = poses[0]
     else:
-        from instancefusion_tpu.datasets import tum
+        import os
 
-        seq = tum.TumSequence(args.dataset, cfg.intrinsics)
+        if os.path.isdir(os.path.join(args.dataset, "intrinsic")):
+            from instancefusion_tpu.datasets import scannet
+
+            seq = scannet.ScanNetSequence(args.dataset)
+            if seq.intrinsics is not None:
+                import dataclasses as _dc2
+
+                cfg = _dc2.replace(cfg, intrinsics=seq.intrinsics)
+        else:
+            from instancefusion_tpu.datasets import tum
+
+            seq = tum.TumSequence(args.dataset, cfg.intrinsics)
         frame_iter = seq.frames(limit=args.frames or None)
         gt = seq.gt_poses(limit=args.frames or None)
         T0 = None if gt is None else gt[0]
@@ -108,18 +123,32 @@ def cmd_run(args: argparse.Namespace) -> int:
             )
 
     metrics = MetricsWriter(args.metrics_out, echo=not args.quiet)
-    res = pipeline.run(
-        cfg,
-        frame_iter,
-        T_init_wc=T0,
-        segment_fn=segment_fn,
-        metrics=metrics,
-        checkpoint_dir=args.checkpoint_dir,
-        checkpoint_every=args.checkpoint_every,
-        enable_loops=args.loops,
-        resume=args.resume,
-    )
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax.profiler
+
+        profile_cm = jax.profiler.trace(args.profile)
+    with profile_cm:
+        res = pipeline.run(
+            cfg,
+            frame_iter,
+            T_init_wc=T0,
+            segment_fn=segment_fn,
+            metrics=metrics,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            enable_loops=args.loops,
+            resume=args.resume,
+        )
     metrics.close()
+
+    if args.export_mesh:
+        from instancefusion_tpu.utils import meshing
+
+        verts, tris = meshing.extract_mesh(res.state.volume, cfg.tsdf)
+        meshing.save_ply(args.export_mesh, verts, tris)
 
     if args.export_traj:
         with open(args.export_traj, "w") as f:

@@ -22,3 +22,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the shard_map raycast programs take minutes to
+# partition on the virtual mesh; cache them across test runs/processes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ifusion")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
