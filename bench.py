@@ -24,8 +24,47 @@ import os
 import time
 
 
+def _arm_watchdog(seconds: float) -> None:
+    """Print a JSON failure line and hard-exit if the run wedges.
+
+    This box's TPU is reached over a relay tunnel that can wedge so hard
+    that even `jax.devices()` blocks forever; a benchmark that hangs
+    records nothing.  The watchdog guarantees ONE JSON line either way.
+    """
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "fused_frames_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"watchdog: no result within {seconds:.0f}s "
+                    "(TPU tunnel unreachable?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    global _WATCHDOG
+    _WATCHDOG = t
+
+
+_WATCHDOG = None
+
+
 def main() -> None:
+    _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "540")))
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from instancefusion_tpu.config import (
@@ -88,6 +127,8 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps = nframes / dt
+    if _WATCHDOG is not None:
+        _WATCHDOG.cancel()
     print(
         json.dumps(
             {
