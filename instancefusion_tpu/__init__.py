@@ -21,3 +21,27 @@ ElasticFusion) — redesigned TPU-first, not ported:
 """
 
 __version__ = "0.1.0"
+
+# Public API: the stable entry points a user of the framework needs.
+from instancefusion_tpu.config import (  # noqa: E402,F401
+    EngineConfig,
+    IcpConfig,
+    InstanceConfig,
+    PoseGraphConfig,
+    PreprocessConfig,
+    PRESETS,
+    RaycastConfig,
+    TsdfConfig,
+)
+from instancefusion_tpu.geometry.camera import Intrinsics  # noqa: E402,F401
+
+
+def __getattr__(name):
+    """Lazy submodule access (keeps `import instancefusion_tpu` light)."""
+    import importlib
+
+    if name in {
+        "engine", "ops", "models", "parallel", "datasets", "utils", "geometry",
+    }:
+        return importlib.import_module(f"instancefusion_tpu.{name}")
+    raise AttributeError(f"module 'instancefusion_tpu' has no attribute {name!r}")

@@ -36,7 +36,10 @@ def _update_kernel(
     w_new = w_old + w_obs
     denom = jnp.maximum(w_new, 1e-6)
     inv = 1.0 / denom
-    sdf_out[:] = (sdf_ref[:] * w_old + psi_ref[:] * w_obs) * inv
+    # Preserve never-fused voxels (sentinel sdf) instead of writing 0.
+    sdf_out[:] = jnp.where(
+        w_new > 0.0, (sdf_ref[:] * w_old + psi_ref[:] * w_obs) * inv, sdf_ref[:]
+    )
     w_out[:] = jnp.minimum(w_new, max_weight)
     cr_out[:] = (cr_ref[:] * w_old + or_ref[:] * w_obs) * inv
     cg_out[:] = (cg_ref[:] * w_old + og_ref[:] * w_obs) * inv

@@ -71,7 +71,7 @@ def allocate(cfg: TsdfConfig, num_shards: int, with_color: bool = True) -> Shard
         block_coords=jnp.full((c, 3), -1, jnp.int32),
         n_active=jnp.zeros((num_shards,), jnp.int32),
         overflow=jnp.zeros((num_shards,), jnp.int32),
-        sdf=jnp.ones((c, b3), jnp.float32),
+        sdf=jnp.full((c, b3), blk.UNOBSERVED, jnp.float32),
         weight=jnp.zeros((c, b3), jnp.float32),
         color=jnp.zeros((c, b3 if with_color else 0, 3), jnp.float32),
     )
@@ -164,7 +164,11 @@ def _integrate_shard(
     w_old = w_l[lslots]
     w_new = w_old + w_obs
     denom = jnp.maximum(w_new, 1e-6)
-    sdf_new = (sdf_old * w_old + psi * w_obs) / denom
+    # Preserve the UNOBSERVED sentinel where nothing has ever been fused
+    # (0/denom would silently write 0.0 and corrupt sentinel validity).
+    sdf_new = jnp.where(
+        w_new > 0.0, (sdf_old * w_old + psi * w_obs) / denom, sdf_old
+    )
     w_new = jnp.minimum(w_new, cfg.max_weight)
     out = jnp.where(valid, lslots, cl)
     sdf_l = sdf_l.at[out].set(sdf_new, mode="drop")
@@ -243,7 +247,7 @@ def _halo_exchange(
         gslot = dir_flat[tidx]
         lslot = jnp.clip(gslot - sid * cl, 0, cl - 1)
         ok = vals > 0
-        rows_sdf = jnp.where(ok[:, None], sdf_l[lslot], 1.0)
+        rows_sdf = jnp.where(ok[:, None], sdf_l[lslot], blk.UNOBSERVED)
         rows_w = jnp.where(ok[:, None], w_l[lslot], 0.0)
         rows_col = (
             jnp.where(ok[:, None, None], col_l[lslot], 0.0)

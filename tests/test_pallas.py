@@ -89,7 +89,8 @@ def test_fused_tsdf_update_matches_reference():
         sdf, w, *c, psi, wo, *o, 64.0, True
     )
     denom = jnp.maximum(w + wo, 1e-6)
-    np.testing.assert_allclose(np.asarray(s2), np.asarray((sdf * w + psi * wo) / denom),
+    sdf_ref = jnp.where(w + wo > 0, (sdf * w + psi * wo) / denom, sdf)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(sdf_ref),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(w2), np.asarray(jnp.minimum(w + wo, 64.0)),
                                rtol=1e-6)
