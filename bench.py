@@ -98,7 +98,8 @@ def main() -> None:
             use_pallas=use_pallas,
         ),
         icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas),
-        raycast=RaycastConfig(near=0.2, far=4.0),
+        raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
+                              screen_space_normals=True),
         preprocess=PreprocessConfig(use_pallas=use_pallas),
         map_kind=map_kind,
         use_color=True,

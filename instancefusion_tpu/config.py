@@ -54,6 +54,12 @@ class RaycastConfig:
     refine_steps: int = 6  # bisection refinements at the zero crossing
     near: float = 0.1  # m
     far: float = 5.0  # m
+    # Per-frame prediction fast paths (ops/blocks.raycast): bound the march
+    # by the just-fused depth (~7 steps instead of ~60) and take normals
+    # from image-space hit differences (0 gathers vs ~100/ray).  Off by
+    # default (goldens, offline rendering); enabled in the 512^3 presets.
+    use_depth_prior: bool = False
+    screen_space_normals: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +135,7 @@ def config2_tum_fr3_long_office() -> EngineConfig:
                         table_capacity=65536),
         map_kind="blocks",
         use_instances=False,
+        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True),
     )
 
 
@@ -142,6 +149,7 @@ def config3_scannet_instances() -> EngineConfig:
                         table_capacity=65536),
         map_kind="blocks",
         use_instances=True,
+        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True),
     )
 
 
@@ -156,6 +164,7 @@ def config4_posegraph_sharded() -> EngineConfig:
         map_kind="blocks",
         use_instances=False,
         num_shards=8,
+        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True),
     )
 
 
@@ -170,6 +179,7 @@ def config5_multihost() -> EngineConfig:
         map_kind="blocks",
         use_instances=True,
         num_shards=8,
+        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True),
     )
 
 

@@ -149,8 +149,22 @@ def step(
         cfg.tsdf,
     )
 
+    rc_kwargs = {}
+    if cfg.map_kind == "blocks":
+        # Tracking-prediction fast paths (see ops/blocks.raycast): the
+        # dense path keeps full-sweep semantics for golden parity.
+        if cfg.raycast.use_depth_prior:
+            # Prior: this frame's fused depth; holes (and lost frames,
+            # where nothing was fused) fall back to the previous
+            # prediction — the pose moved at most a frame's worth, well
+            # inside the 1.5-trunc search band.
+            rc_kwargs["depth_prior"] = jnp.where(
+                depth_masked > 0.0, depth_masked, state.pred.depth
+            )
+        rc_kwargs["screen_space_normals"] = cfg.raycast.screen_space_normals
     pred = ops.raycast(
-        volume, T_new, intr, cfg.tsdf, cfg.raycast, with_color=cfg.use_color
+        volume, T_new, intr, cfg.tsdf, cfg.raycast,
+        with_color=cfg.use_color, **rc_kwargs,
     )
 
     new_state = state._replace(

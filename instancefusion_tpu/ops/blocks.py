@@ -373,6 +373,29 @@ def sdf_gradient(
     return nrm, valid & (norm[..., 0] > 1e-12)
 
 
+def _image_space_normals(p_hit, found, dirs_w):
+    """World normals from image-space central differences of hit points.
+
+    Zero gathers — the KinectFusion model-map trick: neighbor hit vertices
+    of a smooth surface span its tangent plane.  Orientation: flipped to
+    face the camera (against the ray).
+    """
+    dx = jnp.roll(p_hit, -1, 1) - jnp.roll(p_hit, 1, 1)
+    dy = jnp.roll(p_hit, -1, 0) - jnp.roll(p_hit, 1, 0)
+    vx = jnp.roll(found, -1, 1) & jnp.roll(found, 1, 1)
+    vy = jnp.roll(found, -1, 0) & jnp.roll(found, 1, 0)
+    n = jnp.cross(dx, dy)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-12)
+    flip = jnp.sum(n * dirs_w, axis=-1, keepdims=True) > 0.0
+    n = jnp.where(flip, -n, n)
+    valid = found & vx & vy & (norm[..., 0] > 1e-12)
+    # Wrapped borders are invalid.
+    valid = valid.at[0, :].set(False).at[-1, :].set(False)
+    valid = valid.at[:, 0].set(False).at[:, -1].set(False)
+    return n, valid
+
+
 def raycast(
     bm: BlockMap,
     T_wc: jnp.ndarray,
@@ -380,14 +403,31 @@ def raycast(
     tsdf_cfg: TsdfConfig,
     cfg,  # RaycastConfig
     with_color: bool = True,
+    depth_prior: jnp.ndarray | None = None,
+    screen_space_normals: bool = False,
 ):
     """Two-speed ray march with empty-space skipping over the directory.
 
     The dense raycaster marches at a fixed fine step; here each iteration
     first checks the block directory at the current point: unallocated ->
-    jump nearly a whole block, allocated -> fine step + trilinear sample +
-    zero-crossing test.  A fixed iteration budget keeps shapes static; the
-    skip rate makes the budget cover the whole [near, far] range.
+    jump to the next block boundary (DDA), allocated -> fine step +
+    trilinear sample + zero-crossing test.  A fixed iteration budget keeps
+    shapes static.
+
+    Performance levers for the per-frame tracking prediction (random
+    gathers dominate this kernel on TPU — each trilinear sample is 16
+    gathers across 307 k rays):
+
+    - ``depth_prior`` (f32[H,W], the depth just fused at this pose): the
+      model surface along each valid-depth ray lies within the truncation
+      band of the measurement, so the march starts at d - 1.5 trunc and a
+      ~7-step budget replaces the ~60-step full-range sweep.  Rays without
+      measured depth fall back to the full sweep only when no prior is
+      passed; with a prior they simply miss (ICP ignores invalid target
+      pixels anyway).  Offline rendering passes None for full coverage.
+    - ``screen_space_normals``: derive normals from image-space central
+      differences of the hit-vertex map (zero gathers) instead of six
+      trilinear SDF-gradient samples (~100 gathers/ray).
 
     Returns the same RaycastMaps as the dense version (the engine is
     agnostic to the map kind).
@@ -410,6 +450,22 @@ def raycast(
 
     h, w = intr.height, intr.width
     shape = (h, w)
+
+    band = 1.5 * tsdf_cfg.trunc
+    if depth_prior is not None:
+        has_prior = depth_prior > 0.0
+        t_start = jnp.where(
+            has_prior,
+            jnp.maximum((depth_prior - band) * ray_norm, cfg.near),
+            jnp.full(shape, cfg.far),  # no-prior rays: skip (miss)
+        )
+        t_end = jnp.where(
+            has_prior, (depth_prior + band) * ray_norm, jnp.full(shape, cfg.far)
+        )
+        max_steps = int(2.0 * band / fine) + 3
+    else:
+        t_start = jnp.full(shape, cfg.near)
+        t_end = jnp.full(shape, cfg.far)
 
     def point_at(t):
         return origin_w + t[..., None] * dirs_w
@@ -446,11 +502,11 @@ def raycast(
         s_hi = jnp.where(crossing, s, s_hi)
         found = found | crossing
         dt = jnp.where(found, 0.0, jnp.where(occ, fine, boundary_step(p)))
-        t_next = jnp.minimum(t + dt, cfg.far)
+        t_next = jnp.minimum(t + dt, t_end)
         return t_next, s, v & occ, t_lo, t_hi, s_lo, s_hi, found
 
     init = (
-        jnp.full(shape, cfg.near),
+        t_start,
         jnp.zeros(shape),
         jnp.zeros(shape, bool),
         jnp.zeros(shape),
@@ -474,7 +530,10 @@ def raycast(
     t_star = jax.lax.fori_loop(0, cfg.refine_steps, refine, t_star)
 
     p_hit = point_at(t_star)
-    normal_w, nvalid = sdf_gradient(bm, p_hit, tsdf_cfg)
+    if screen_space_normals:
+        normal_w, nvalid = _image_space_normals(p_hit, found, dirs_w)
+    else:
+        normal_w, nvalid = sdf_gradient(bm, p_hit, tsdf_cfg)
     valid = found & nvalid
     depth = jnp.where(valid, t_star / ray_norm, 0.0)
     if with_color and bm.color.size:

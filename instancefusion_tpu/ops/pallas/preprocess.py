@@ -27,16 +27,27 @@ from instancefusion_tpu.geometry.camera import Intrinsics
 
 
 def _shift2d(x, dy, dx, fill):
-    """Static 2-D shift with border fill (jnp.roll + edge masking)."""
+    """Static 2-D shift with border fill.
+
+    dy/dx are Python ints (stencil offsets).  Mosaic lowers `jnp.roll`
+    through slices and rejects the zero-size slice a 0-shift produces, so
+    each axis is rolled only when its shift is nonzero (pltpu.roll is the
+    TPU-native circular shift).
+    """
     h, w = x.shape
-    y = jnp.roll(x, (dy, dx), (0, 1))
+    y = x
+    if dy:
+        y = pltpu.roll(y, dy % h, 0)  # pltpu.roll requires shift >= 0
+    if dx:
+        y = pltpu.roll(y, dx % w, 1)
     vv = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     uu = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inb = (vv - dy >= 0) & (vv - dy < h) & (uu - dx >= 0) & (uu - dx < w)
     return jnp.where(inb, y, fill)
 
 
-def _kernel(depth_ref, dfilt_ref, vmap_ref, nmap_ref, valid_ref, *, intr, cfg):
+def _kernel(depth_ref, dfilt_ref, vx_ref, vy_ref, vz_ref,
+            nx_ref, ny_ref, nz_ref, valid_ref, *, intr, cfg):
     d = depth_ref[:]
     h, w = d.shape
 
@@ -63,14 +74,17 @@ def _kernel(depth_ref, dfilt_ref, vmap_ref, nmap_ref, valid_ref, *, intr, cfg):
     df = jnp.where(valid_c, df, 0.0)
     dfilt_ref[:] = df
 
-    # --- vertex map (back-projection; iota pixel grid)
-    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # --- vertex map (back-projection; iota pixel grid — int iota + cast,
+    # Mosaic's tpu.iota is integer-only)
+    vv = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    uu = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
     x = (uu - intr.cx) / intr.fx * df
     y = (vv - intr.cy) / intr.fy * df
-    vmap_ref[:, :, 0] = x
-    vmap_ref[:, :, 1] = y
-    vmap_ref[:, :, 2] = df
+    # Component planes, not (H, W, 3): a 3-wide minor dim pads to 128
+    # lanes in VMEM (42x memory blowup) — stack happens outside.
+    vx_ref[:] = x
+    vy_ref[:] = y
+    vz_ref[:] = df
 
     # --- normal map (cross of central differences)
     vval = df > 0.0
@@ -80,8 +94,10 @@ def _kernel(depth_ref, dfilt_ref, vmap_ref, nmap_ref, valid_ref, *, intr, cfg):
     dyx = _shift2d(x, -1, 0, 0.0) - _shift2d(x, 1, 0, 0.0)
     dyy = _shift2d(y, -1, 0, 0.0) - _shift2d(y, 1, 0, 0.0)
     dyz = _shift2d(df, -1, 0, 0.0) - _shift2d(df, 1, 0, 0.0)
-    vx = _shift2d(vval, 0, -1, False) & _shift2d(vval, 0, 1, False)
-    vy = _shift2d(vval, -1, 0, False) & _shift2d(vval, 1, 0, False)
+    # Mosaic cannot rotate i1 vectors — shift validity as f32.
+    vvalf = jnp.where(vval, 1.0, 0.0)
+    vx = (_shift2d(vvalf, 0, -1, 0.0) > 0.5) & (_shift2d(vvalf, 0, 1, 0.0) > 0.5)
+    vy = (_shift2d(vvalf, -1, 0, 0.0) > 0.5) & (_shift2d(vvalf, 1, 0, 0.0) > 0.5)
     nx = dxy * dyz - dxz * dyy
     ny = dxz * dyx - dxx * dyz
     nz = dxx * dyy - dxy * dyx
@@ -97,9 +113,9 @@ def _kernel(depth_ref, dfilt_ref, vmap_ref, nmap_ref, valid_ref, *, intr, cfg):
     uu_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     border = (vv_i == 0) | (vv_i == h - 1) | (uu_i == 0) | (uu_i == w - 1)
     nvalid = vval & vx & vy & (norm > 1e-12) & ~border
-    nmap_ref[:, :, 0] = jnp.where(nvalid, nx, 0.0)
-    nmap_ref[:, :, 1] = jnp.where(nvalid, ny, 0.0)
-    nmap_ref[:, :, 2] = jnp.where(nvalid, nz, 0.0)
+    nx_ref[:] = jnp.where(nvalid, nx, 0.0)
+    ny_ref[:] = jnp.where(nvalid, ny, 0.0)
+    nz_ref[:] = jnp.where(nvalid, nz, 0.0)
     valid_ref[:] = nvalid & vval
 
 
@@ -116,20 +132,22 @@ def fused_preprocess(
     outputs of `ops/preprocess.build_frame_pyramid` (its golden test).
     """
     h, w = depth.shape
-    return pl.pallas_call(
+    plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    df, vx, vy, vz, nx, ny, nz, valid = pl.pallas_call(
         functools.partial(_kernel, intr=intr, cfg=cfg),
         out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
-            jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
+            plane, plane, plane, plane, plane, plane, plane,
             jax.ShapeDtypeStruct((h, w), jnp.bool_),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 8,
+        # 9 VGA planes + stencil temporaries exceed the conservative 16 MB
+        # default scoped-vmem limit; the chip has far more.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(depth)
+    vmap = jnp.stack([vx, vy, vz], axis=-1)
+    nmap = jnp.stack([nx, ny, nz], axis=-1)
+    return df, vmap, nmap, valid

@@ -86,3 +86,37 @@ def test_engine_blocks_end_to_end():
     assert ate < cfg.tsdf.voxel_size, ate
     assert int(state.volume.overflow) == 0
     assert int(state.volume.n_active) > 100
+
+
+def test_engine_blocks_fast_raycast_paths():
+    """depth-prior bounded march + screen-space normals (the TPU fast
+    paths) must track as accurately as the full-sweep raycast."""
+    import dataclasses
+
+    from instancefusion_tpu.config import RaycastConfig
+
+    base = dataclasses.replace(
+        SMALL_CFG,
+        map_kind="blocks",
+        tsdf=dataclasses.replace(SMALL_TSDF, block_size=8, table_capacity=1728),
+    )
+    fast = dataclasses.replace(
+        base,
+        raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
+                              screen_space_normals=True),
+    )
+    n = 10
+    poses_gt = synthetic.orbit_trajectory(n)
+    frames = [synthetic.render_frame(poses_gt[i], SMALL_INTR) for i in range(n)]
+    est = {"base": [], "fast": []}
+    for key, cfg in (("base", base), ("fast", fast)):
+        state = slam.init_state(cfg, frames[0].T_wc)
+        for f in frames:
+            state, info = slam.step(cfg, state, f.depth, f.color)
+            est[key].append(np.asarray(state.T_wc))
+        assert bool(info.track_ok), key
+    ate_base = ate_rmse(np.stack(est["base"]), np.asarray(poses_gt))
+    ate_fast = ate_rmse(np.stack(est["fast"]), np.asarray(poses_gt))
+    assert ate_fast < max(2.0 * ate_base, 0.5 * SMALL_TSDF.voxel_size), (
+        ate_base, ate_fast
+    )
