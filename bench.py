@@ -85,6 +85,8 @@ def main() -> None:
     use_pallas = os.environ.get("BENCH_PALLAS", "1" if on_tpu else "0") == "1"
     warmup = 3
 
+    use_splat = os.environ.get("BENCH_SPLAT", "1" if on_tpu else "0") == "1"
+    touched_cap = int(os.environ.get("BENCH_TOUCHED", "2048"))
     extent = grid * 0.0075  # keep the synthetic room inside the volume
     cfg = EngineConfig(
         intrinsics=TUM_FR1,
@@ -95,11 +97,12 @@ def main() -> None:
             origin=(-extent, -extent, 1.2 - extent),
             block_size=8,
             table_capacity=65536,
+            touched_capacity=touched_cap,
             use_pallas=use_pallas,
         ),
         icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas),
         raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
-                              screen_space_normals=True),
+                              screen_space_normals=True, use_splat=use_splat),
         preprocess=PreprocessConfig(use_pallas=use_pallas),
         map_kind=map_kind,
         use_color=True,

@@ -44,6 +44,10 @@ class TsdfConfig:
     # Sparse block map (config 2+):
     block_size: int = 8  # voxels per block edge
     table_capacity: int = 16384  # max live blocks (hash-table slots)
+    # Static per-frame touched-block list size (integrate + splat predict);
+    # overflow beyond this is skipped for the frame and counted.  Typical
+    # frames touch 500-2500 blocks at 512^3.
+    touched_capacity: int = 4096
     # Use the Pallas fused payload-update kernels (TPU; ops/pallas/tsdf.py).
     use_pallas: bool = False
 
@@ -60,6 +64,14 @@ class RaycastConfig:
     # default (goldens, offline rendering); enabled in the 512^3 presets.
     use_depth_prior: bool = False
     screen_space_normals: bool = False
+    # Predict via the Pallas splat-raycast kernel (MXU rasterization of the
+    # touched blocks, ops/pallas/raycast.py) instead of the gather-heavy
+    # per-pixel march — the 512^3 per-frame fast path (blocks map only).
+    use_splat: bool = False
+    # Max tent-splat radius (px): voxel footprints nearer than
+    # ~0.7*fx*voxel/rmax meters get coverage gaps.  The jnp golden's
+    # scatter count grows as (2*rmax+1)^2, so tests use a small value.
+    splat_rmax: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,7 +147,8 @@ def config2_tum_fr3_long_office() -> EngineConfig:
                         table_capacity=65536),
         map_kind="blocks",
         use_instances=False,
-        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True),
+        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True,
+                              use_splat=True),
     )
 
 
@@ -149,7 +162,8 @@ def config3_scannet_instances() -> EngineConfig:
                         table_capacity=65536),
         map_kind="blocks",
         use_instances=True,
-        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True),
+        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True,
+                              use_splat=True),
     )
 
 
@@ -164,7 +178,8 @@ def config4_posegraph_sharded() -> EngineConfig:
         map_kind="blocks",
         use_instances=False,
         num_shards=8,
-        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True),
+        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True,
+                              use_splat=True),
     )
 
 
@@ -179,7 +194,8 @@ def config5_multihost() -> EngineConfig:
         map_kind="blocks",
         use_instances=True,
         num_shards=8,
-        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True),
+        raycast=RaycastConfig(use_depth_prior=True, screen_space_normals=True,
+                              use_splat=True),
     )
 
 

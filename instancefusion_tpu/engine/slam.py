@@ -140,32 +140,63 @@ def step(
     )
     depth_masked = jnp.where(fuse_ok, d0, jnp.zeros_like(d0))
     ops = _map_ops(cfg)
-    volume = ops.integrate(
-        state.volume,
-        depth_masked,
-        color if cfg.use_color else None,
-        T_new,
-        intr,
-        cfg.tsdf,
-    )
-
-    rc_kwargs = {}
-    if cfg.map_kind == "blocks":
-        # Tracking-prediction fast paths (see ops/blocks.raycast): the
-        # dense path keeps full-sweep semantics for golden parity.
-        if cfg.raycast.use_depth_prior:
-            # Prior: this frame's fused depth; holes (and lost frames,
-            # where nothing was fused) fall back to the previous
-            # prediction — the pose moved at most a frame's worth, well
-            # inside the 1.5-trunc search band.
-            rc_kwargs["depth_prior"] = jnp.where(
-                depth_masked > 0.0, depth_masked, state.pred.depth
-            )
-        rc_kwargs["screen_space_normals"] = cfg.raycast.screen_space_normals
-    pred = ops.raycast(
-        volume, T_new, intr, cfg.tsdf, cfg.raycast,
-        with_color=cfg.use_color, **rc_kwargs,
-    )
+    frame_color = color if cfg.use_color else None
+    if cfg.map_kind == "blocks" and cfg.raycast.use_splat:
+        # Fast path: one shared touched-block list feeds both the fused
+        # integrate and the Pallas splat-raycast prediction (zero random
+        # gathers on the prediction side).  Blocks are *allocated* only
+        # from measured depth; the prediction list adds blocks under
+        # previous-prediction pixels so depth holes keep coverage.
+        touched_meas = blocks.touched_blocks_mask(
+            depth_masked, T_new, intr, cfg.tsdf
+        )
+        volume = blocks.allocate_touched(state.volume, touched_meas, cfg.tsdf)
+        prior = jnp.where(depth_masked > 0.0, depth_masked, state.pred.depth)
+        touched_pred = blocks.touched_blocks_mask(prior, T_new, intr, cfg.tsdf)
+        k = min(
+            cfg.tsdf.touched_capacity,
+            blocks.num_blocks_per_axis(cfg.tsdf) ** 3,
+        )
+        # Space-carve allocated in-frustum blocks (erases projective-TSDF
+        # fins) by including them in the integrate/update list.
+        carve = blocks.frustum_allocated_mask(
+            volume, T_new, intr, cfg.tsdf, cfg.raycast.near, cfg.raycast.far
+        )
+        slots, slot_valid = blocks.compact_touched_slots(
+            volume, touched_meas | touched_pred | carve, cfg.tsdf, k
+        )
+        volume = blocks.integrate_slots(
+            volume, slots, slot_valid, depth_masked, frame_color, T_new,
+            intr, cfg.tsdf,
+        )
+        pred = blocks.raycast_splat(
+            volume, T_new, intr, cfg.tsdf, slots, slot_valid,
+            with_color=cfg.use_color,
+            interpret=jax.default_backend() != "tpu",
+            depth_prior=prior,
+            rmax=cfg.raycast.splat_rmax,
+        )
+    else:
+        volume = ops.integrate(
+            state.volume, depth_masked, frame_color, T_new, intr, cfg.tsdf
+        )
+        rc_kwargs = {}
+        if cfg.map_kind == "blocks":
+            # Tracking-prediction fast paths (see ops/blocks.raycast): the
+            # dense path keeps full-sweep semantics for golden parity.
+            if cfg.raycast.use_depth_prior:
+                # Prior: this frame's fused depth; holes (and lost frames,
+                # where nothing was fused) fall back to the previous
+                # prediction — the pose moved at most a frame's worth, well
+                # inside the 1.5-trunc search band.
+                rc_kwargs["depth_prior"] = jnp.where(
+                    depth_masked > 0.0, depth_masked, state.pred.depth
+                )
+            rc_kwargs["screen_space_normals"] = cfg.raycast.screen_space_normals
+        pred = ops.raycast(
+            volume, T_new, intr, cfg.tsdf, cfg.raycast,
+            with_color=cfg.use_color, **rc_kwargs,
+        )
 
     new_state = state._replace(
         T_wc=T_new,

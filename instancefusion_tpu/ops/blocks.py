@@ -121,6 +121,52 @@ def touched_blocks_mask(
     return mask.astype(bool)
 
 
+def frustum_allocated_mask(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    near: float,
+    far: float,
+) -> jnp.ndarray:
+    """Already-allocated blocks whose center lies in the view frustum.
+
+    Feeding these into the per-frame integrate list *space-carves* free
+    space: projective-TSDF fins (spurious in-band voxels in the shadow of
+    depth edges, fused from grazing views) sit between the camera and the
+    real surface, outside the measurement band — they are only erased if
+    allocated in-frustum blocks keep receiving free-space (+1) updates.
+    Returns bool[Nb^3] over the directory.
+    """
+    nb = num_blocks_per_axis(cfg)
+    bsz = cfg.block_size * cfg.voxel_size
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    c = bm.block_coords.shape[0]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    allocated = (slot_ids < bm.n_active) & (bm.block_coords[:, 0] >= 0)
+    centers = origin + (bm.block_coords.astype(jnp.float32) + 0.5) * bsz
+    p_c = transform_points(se3_inverse(T_wc), centers)
+    z = p_c[:, 2]
+    zs = jnp.maximum(z, 1e-3)
+    u = intr.fx * p_c[:, 0] / zs + intr.cx
+    v = intr.fy * p_c[:, 1] / zs + intr.cy
+    m = intr.fx * bsz / zs  # screen-space margin ~ block radius
+    inview = (
+        allocated
+        & (z > near - bsz)
+        & (z < far)
+        & (u > -m)
+        & (u < intr.width - 1 + m)
+        & (v > -m)
+        & (v < intr.height - 1 + m)
+    )
+    bc = bm.block_coords
+    flat = (bc[:, 0] * nb + bc[:, 1]) * nb + bc[:, 2]
+    flat = jnp.where(inview, flat, nb * nb * nb)  # OOB -> dropped
+    mask = jnp.zeros((nb * nb * nb,), jnp.int32).at[flat].max(1, mode="drop")
+    return mask.astype(bool)
+
+
 def allocate_touched(bm: BlockMap, touched: jnp.ndarray, cfg: TsdfConfig) -> BlockMap:
     """Assign payload slots to touched-but-unallocated blocks (prefix sum).
 
@@ -177,18 +223,65 @@ def integrate(
     T_wc: jnp.ndarray,
     intr: Intrinsics,
     cfg: TsdfConfig,
-    max_touched: int = 8192,
+    max_touched: int | None = None,
 ) -> BlockMap:
     """Fuse one frame: allocate band blocks, update only those blocks.
 
     Identical math to the dense `tsdf.integrate` (its golden test target),
     but touches `max_touched * B^3` voxels instead of `grid_size^3`.
     """
+    if max_touched is None:
+        max_touched = cfg.touched_capacity
     touched = touched_blocks_mask(depth, T_wc, intr, cfg)
     bm = allocate_touched(bm, touched, cfg)
     nb3 = num_blocks_per_axis(cfg) ** 3
     slots, valid = compact_touched_slots(bm, touched, cfg, min(max_touched, nb3))
+    return integrate_slots(bm, slots, valid, depth, color, T_wc, intr, cfg)
 
+
+def integrate_slots(
+    bm: BlockMap,
+    slots: jnp.ndarray,  # i32[K] payload rows to update
+    valid: jnp.ndarray,  # bool[K]
+    depth: jnp.ndarray,
+    color: jnp.ndarray | None,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+) -> BlockMap:
+    """Fuse one frame into an explicit (already compacted) block list.
+
+    Split out of `integrate` so the engine can share one touched-block
+    list between integration and the splat raycaster.
+
+    On TPU with cfg.use_pallas the whole update — including the per-voxel
+    depth/color image association — runs as ONE Pallas kernel with the
+    gather mapped onto the MXU (ops/pallas/tsdf.fused_integrate); the XLA
+    path below is its golden and the CPU fallback.
+    """
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from instancefusion_tpu.ops.pallas.tsdf import fused_integrate
+
+        frame_color = color if (color is not None and bm.color.size) else None
+        sdf_rows, w_rows, color_rows, out_slots = fused_integrate(
+            slots, valid, bm.block_coords, bm.sdf, bm.weight, bm.color,
+            depth, frame_color, T_wc, intr, cfg,
+        )
+        new = bm._replace(
+            sdf=bm.sdf.at[out_slots].set(sdf_rows, mode="drop"),
+            weight=bm.weight.at[out_slots].set(w_rows, mode="drop"),
+        )
+        if color_rows is not None:
+            new = new._replace(
+                color=bm.color.at[out_slots].set(color_rows, mode="drop")
+            )
+        return new
+
+    # (The Pallas path above skips blocks straddling the camera plane —
+    # their projected window is meaningless; this jnp golden keeps exact
+    # per-voxel semantics, matching the dense reference.  The divergence
+    # only affects blocks the camera is physically inside of, nearer than
+    # any sensor's depth_min.)
     b3 = cfg.block_size**3
     coords = bm.block_coords[slots]  # (K,3)
     local = _local_offsets(cfg)  # (B^3,3)
@@ -546,6 +639,68 @@ def raycast(
         normal_w=jnp.where(valid[..., None], normal_w, zero3),
         depth=depth,
         color=jnp.where(valid[..., None], color, 0.0),
+        valid=valid,
+    )
+
+
+def raycast_splat(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    tsdf_cfg: TsdfConfig,
+    slots: jnp.ndarray,
+    slot_valid: jnp.ndarray,
+    with_color: bool = True,
+    interpret: bool = False,
+    depth_prior: jnp.ndarray | None = None,
+    rmax: int = 8,
+):
+    """Predicted maps by MXU splatting of the listed blocks (zero gathers).
+
+    TPU fast path for the per-frame tracking prediction: rasterizes the
+    touched blocks into composited depth/color images via the Pallas
+    kernel in `ops/pallas/raycast.py` (the TPU analog of the reference's
+    surfel splat pipeline), then finishes vertex/normal maps with dense
+    image math.  Same RaycastMaps contract as `raycast`; `raycast`
+    remains the golden reference and the offline/full-coverage renderer.
+
+    `interpret=True` (CPU) runs the jnp golden instead of Pallas
+    interpret mode, which is far too slow for per-frame use.
+    """
+    from instancefusion_tpu.ops.pallas.raycast import splat_depth, splat_depth_ref
+    from instancefusion_tpu.ops.raycast import RaycastMaps
+
+    impl = splat_depth_ref if interpret else splat_depth
+    imgs = impl(
+        slots,
+        slot_valid,
+        bm.block_coords,
+        bm.sdf,
+        bm.weight,
+        bm.color,
+        T_wc,
+        intr,
+        tsdf_cfg,
+        with_color=with_color and bool(bm.color.size),
+        depth_prior=depth_prior,
+        rmax=rmax,
+    )
+    rays_c = ray_directions(intr)  # unit-z
+    R = T_wc[:3, :3]
+    origin_w = T_wc[:3, 3]
+    dirs_z = (rays_c.reshape(-1, 3) @ R.T).reshape(rays_c.shape)
+    p_hit = origin_w + imgs.depth[..., None] * dirs_z  # z-depth x unit-z dir
+    dirs_unit = dirs_z / jnp.maximum(
+        jnp.linalg.norm(dirs_z, axis=-1, keepdims=True), 1e-12
+    )
+    normal_w, nvalid = _image_space_normals(p_hit, imgs.valid, dirs_unit)
+    valid = imgs.valid & nvalid
+    zero3 = jnp.zeros_like(p_hit)
+    return RaycastMaps(
+        vertex_w=jnp.where(valid[..., None], p_hit, zero3),
+        normal_w=jnp.where(valid[..., None], normal_w, zero3),
+        depth=jnp.where(valid, imgs.depth, 0.0),
+        color=jnp.where(valid[..., None], imgs.color, 0.0),
         valid=valid,
     )
 

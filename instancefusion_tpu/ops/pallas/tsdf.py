@@ -75,6 +75,258 @@ def fused_tsdf_update(
     return tuple(o[:k] for o in outs)
 
 
+def _integrate_kernel(
+    # scalar prefetch (layout shared with the splat kernel: block_windows)
+    meta_i_ref,  # i32[K, 8]: u0, v0, bcx, bcy, bcz (u0 = -1 -> passthrough)
+    meta_f_ref,  # f32[K, 4] (unused here)
+    cam_ref,  # f32[1, 24]: T_cw, fx fy cx cy, voxel, trunc, origin, W H maxw
+    # tensor inputs
+    depth_ref,  # f32[HP, WP] measured depth, VMEM-resident across the grid
+    cri_ref,
+    cgi_ref,
+    cbi_ref,  # f32[HP, WP] frame color planes
+    sdf_ref,  # f32[G, 512] gathered payload row group
+    w_ref,
+    cr_ref,
+    cg_ref,
+    cb_ref,
+    # outputs: updated row groups, scattered back by the host
+    sdf_out,
+    w_out,
+    cr_out,
+    cg_out,
+    cb_out,
+    *,
+    th: int,
+    tw: int,
+    with_color: bool,
+):
+    """Projective TSDF update with the association gather done as matmuls.
+
+    The per-voxel depth/color image lookup (the reference's `tex2D` in its
+    CUDA integrate kernels) is a per-lane random gather — XLA's weak spot
+    on TPU.  Here each block's 512 voxels read the (<=129 px wide) image
+    window they project into via factored one-hot contractions on the MXU:
+      gathered[i] = sum_p onehot_v[p,i] * (D @ onehot_u)[p,i]
+    i.e. one [TH,TW]x[TW,512] matmul per channel plus a sublane reduction
+    — zero random-access HBM traffic, exact nearest-pixel semantics.
+    Each grid step carries a group of GROUP_ROWS gathered rows (Mosaic's
+    block sublane minimum), unrolled below.
+    """
+    from instancefusion_tpu.ops.pallas.raycast import GROUP_ROWS
+
+    i = pl.program_id(0)
+
+    # Outputs must always be written (the host scatters every row back).
+    sdf_out[:] = sdf_ref[:]
+    w_out[:] = w_ref[:]
+    if with_color:
+        cr_out[:] = cr_ref[:]
+        cg_out[:] = cg_ref[:]
+        cb_out[:] = cb_ref[:]
+
+    r00, r01, r02, t0 = cam_ref[0], cam_ref[1], cam_ref[2], cam_ref[3]
+    r10, r11, r12, t1 = cam_ref[4], cam_ref[5], cam_ref[6], cam_ref[7]
+    r20, r21, r22, t2 = cam_ref[8], cam_ref[9], cam_ref[10], cam_ref[11]
+    fx, fy, cx, cy = cam_ref[12], cam_ref[13], cam_ref[14], cam_ref[15]
+    voxel, trunc = cam_ref[16], cam_ref[17]
+    ox, oy, oz = cam_ref[18], cam_ref[19], cam_ref[20]
+    img_w, img_h = cam_ref[21], cam_ref[22]
+    max_weight = cam_ref[23]
+
+    for g in range(GROUP_ROWS):
+        k = i * GROUP_ROWS + g
+        u0 = meta_i_ref[k * 8 + 0]
+
+        @pl.when(u0 >= 0)
+        def _update(g=g, k=k, u0=u0):
+            v0 = meta_i_ref[k * 8 + 1]
+            bcx = meta_i_ref[k * 8 + 2].astype(jnp.float32)
+            bcy = meta_i_ref[k * 8 + 3].astype(jnp.float32)
+            bcz = meta_i_ref[k * 8 + 4].astype(jnp.float32)
+
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
+            lx = (idx // 64).astype(jnp.float32)
+            ly = ((idx // 8) % 8).astype(jnp.float32)
+            lz = (idx % 8).astype(jnp.float32)
+            px = ox + (bcx * 8.0 + lx + 0.5) * voxel
+            py = oy + (bcy * 8.0 + ly + 0.5) * voxel
+            pz = oz + (bcz * 8.0 + lz + 0.5) * voxel
+            xc = r00 * px + r01 * py + r02 * pz + t0
+            yc = r10 * px + r11 * py + r12 * pz + t1
+            zc = r20 * px + r21 * py + r22 * pz + t2
+            vis = zc > 1e-3
+            zs = jnp.where(vis, zc, 1.0)
+            u = fx * xc / zs + cx
+            v = fy * yc / zs + cy
+            ur = jnp.round(u)
+            vr = jnp.round(v)
+            in_img = (
+                vis & (ur >= 0.0) & (ur <= img_w - 1.0)
+                & (vr >= 0.0) & (vr <= img_h - 1.0)
+            )
+
+            # Nearest-pixel gather as factored one-hot contractions.
+            colpos = (
+                jax.lax.broadcasted_iota(jnp.int32, (tw, 512), 0)
+                .astype(jnp.float32) + u0.astype(jnp.float32)
+            )
+            du = colpos - u
+            oh_u = ((du > -0.5) & (du <= 0.5)).astype(jnp.float32)  # (TW,512)
+            rowpos = (
+                jax.lax.broadcasted_iota(jnp.int32, (th, 512), 0)
+                .astype(jnp.float32) + v0.astype(jnp.float32)
+            )
+            dv = rowpos - v
+            oh_v = ((dv > -0.5) & (dv <= 0.5)).astype(jnp.float32)  # (TH,512)
+
+            rw = pl.ds(pl.multiple_of(v0, 8), th)
+            cw = pl.ds(pl.multiple_of(u0, 128), tw)
+            dwin = depth_ref[rw, cw]  # (TH, TW)
+            # Depth gather must be exact f32: Precision.HIGHEST forces
+            # bf16x3 passes on the MXU (Pallas' default truncates f32 dot
+            # inputs to single-pass bf16, quantizing depth by ~0.4%).
+            m1d = jax.lax.dot_general(
+                dwin, oh_u, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (TH, 512)
+            d_vox = jnp.sum(oh_v * m1d, axis=0, keepdims=True)  # (1, 512)
+            if with_color:
+                cwin = jnp.concatenate(
+                    [cri_ref[rw, cw], cgi_ref[rw, cw], cbi_ref[rw, cw]],
+                    axis=0,
+                )  # (3*TH, TW) — 8-bit data, bf16 single-pass is plenty
+                m1 = jax.lax.dot_general(
+                    cwin, oh_u, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3*TH, 512)
+
+            sdf_obs = d_vox - zc
+            ok = in_img & (d_vox > 0.0) & (sdf_obs > -trunc)
+            psi = jnp.clip(sdf_obs / trunc, -1.0, 1.0)
+            w_obs = jnp.where(ok, 1.0, 0.0)
+
+            w_old = w_ref[g : g + 1, :]
+            w_new = w_old + w_obs
+            denom = jnp.maximum(w_new, 1e-6)
+            inv = 1.0 / denom
+            sdf_out[g : g + 1, :] = jnp.where(
+                w_new > 0.0,
+                (sdf_ref[g : g + 1, :] * w_old + psi * w_obs) * inv,
+                sdf_ref[g : g + 1, :],
+            )
+            w_out[g : g + 1, :] = jnp.minimum(w_new, max_weight)
+            if with_color:
+                c_vox = [
+                    jnp.sum(
+                        oh_v * m1[c * th : (c + 1) * th], axis=0, keepdims=True
+                    )
+                    for c in range(3)
+                ]
+                cr_out[g : g + 1, :] = (
+                    cr_ref[g : g + 1, :] * w_old + c_vox[0] * w_obs
+                ) * inv
+                cg_out[g : g + 1, :] = (
+                    cg_ref[g : g + 1, :] * w_old + c_vox[1] * w_obs
+                ) * inv
+                cb_out[g : g + 1, :] = (
+                    cb_ref[g : g + 1, :] * w_old + c_vox[2] * w_obs
+                ) * inv
+
+
+def fused_integrate(
+    slots,  # i32[K] payload rows to update (unique where valid)
+    slot_valid,  # bool[K]
+    block_coords,  # i32[C, 3]
+    sdf,
+    weight,
+    color,  # payload planes f32[C,512] / f32[C,512,3]
+    depth,  # f32[H, W]
+    frame_color,  # f32[H, W, 3] or None
+    T_wc,
+    intr,
+    tsdf_cfg,
+    interpret: bool = False,
+):
+    """TSDF integrate over a block list, association gather on the MXU.
+
+    Returns (sdf_rows, w_rows, color_rows, out_slots): updated payload rows
+    (K, 512[,3]) for the caller to scatter back (valid rows only; invalid
+    entries carry out_slots == capacity so `.at[].set(mode='drop')` skips
+    them).
+    """
+    from instancefusion_tpu.ops.pallas.raycast import GROUP_ROWS, block_windows
+
+    h, w_img = intr.height, intr.width
+    hp = -(-h // 8) * 8
+    wp = -(-w_img // 128) * 128
+    th = min(128, hp)
+    tw = min(256, wp)
+    k = slots.shape[0]
+    with_color = frame_color is not None and color.size > 0
+
+    safe_slots, meta_i, meta_f, cam = block_windows(
+        slots, slot_valid, block_coords, T_wc, intr, tsdf_cfg,
+        th=th, tw=tw, hp=hp, wp=wp, rmax=1,
+    )
+    g = GROUP_ROWS
+    pad = (-k) % g
+    if pad:
+        safe_slots = jnp.pad(safe_slots, (0, pad))
+        meta_i = jnp.pad(meta_i, ((0, pad), (0, 0)), constant_values=-1)
+        meta_f = jnp.pad(meta_f, ((0, pad), (0, 0)), constant_values=1.0)
+    kp = k + pad
+
+    dpad = jnp.zeros((hp, wp), jnp.float32).at[:h, :w_img].set(depth)
+    sdf_in = sdf[safe_slots]
+    w_in = weight[safe_slots]
+    if with_color:
+        cpads = [
+            jnp.zeros((hp, wp), jnp.float32).at[:h, :w_img].set(frame_color[..., c])
+            for c in range(3)
+        ]
+        crows = [color[safe_slots, :, c] for c in range(3)]
+    else:
+        cpads = [jnp.zeros((8, 128), jnp.float32)] * 3
+        crows = [jnp.zeros((kp, 512), jnp.float32)] * 3
+
+    dspec = pl.BlockSpec((hp, wp), lambda i, mi, mf, c: (0, 0))
+    cspec = (
+        dspec
+        if with_color
+        else pl.BlockSpec((8, 128), lambda i, mi, mf, c: (0, 0))
+    )
+    row_spec = pl.BlockSpec((g, 512), lambda i, mi, mf, c: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(kp // g,),
+        in_specs=[dspec, cspec, cspec, cspec] + [row_spec] * 5,
+        out_specs=[row_spec] * 5,
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _integrate_kernel, th=th, tw=tw, with_color=with_color
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((kp, 512), jnp.float32)] * 5,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        meta_i.reshape(-1), meta_f.reshape(-1), cam.reshape(-1),
+        dpad, *cpads, sdf_in, w_in, *crows,
+    )
+    sdf_rows, w_rows = outs[0][:k], outs[1][:k]
+    color_rows = (
+        jnp.stack([o[:k] for o in outs[2:5]], axis=-1) if with_color else None
+    )
+    out_slots = jnp.where(slot_valid, slots, sdf.shape[0])  # OOB -> dropped
+    return sdf_rows, w_rows, color_rows, out_slots
+
+
 def _vote_kernel(lab_ref, cnt_ref, gid_ref, obs_ref, lab_out, cnt_out):
     lab = lab_ref[:]
     cnt = cnt_ref[:]

@@ -150,3 +150,69 @@ def test_engine_step_with_pallas_matches_jnp():
     np.testing.assert_allclose(np.asarray(s_b.T_wc), np.asarray(s_a.T_wc),
                                atol=1e-4)
     assert abs(float(info_b.inliers) - float(info_a.inliers)) < 50
+
+
+def test_fused_integrate_matches_jnp():
+    """The Pallas fused integrate (association gather as MXU one-hot
+    contractions) reproduces the jnp block update exactly: the one-hot
+    matmul sums a single f32 product per voxel, so no tolerance beyond
+    float round-off is needed."""
+    import dataclasses
+
+    from instancefusion_tpu.ops import blocks as blk
+    from tests.helpers import SMALL_TSDF
+
+    cfg = dataclasses.replace(
+        SMALL_TSDF, block_size=8, table_capacity=1728, touched_capacity=64
+    )
+    poses = synthetic.orbit_trajectory(3)
+    f0 = synthetic.render_frame(poses[0], SMALL_INTR)
+    f1 = synthetic.render_frame(poses[1], SMALL_INTR)
+    bm = blk.allocate(cfg)
+    bm = blk.integrate(bm, f0.depth, f0.color, poses[0], SMALL_INTR, cfg)
+
+    touched = blk.touched_blocks_mask(f1.depth, poses[1], SMALL_INTR, cfg)
+    bm = blk.allocate_touched(bm, touched, cfg)
+    slots, valid = blk.compact_touched_slots(bm, touched, cfg, 64)
+
+    ref = blk.integrate_slots(
+        bm, slots, valid, f1.depth, f1.color, poses[1], SMALL_INTR, cfg
+    )
+    sdf_rows, w_rows, color_rows, out_slots = tsdf_pl.fused_integrate(
+        slots, valid, bm.block_coords, bm.sdf, bm.weight, bm.color,
+        f1.depth, f1.color, poses[1], SMALL_INTR, cfg, interpret=True,
+    )
+    got_sdf = bm.sdf.at[out_slots].set(sdf_rows, mode="drop")
+    got_w = bm.weight.at[out_slots].set(w_rows, mode="drop")
+    got_c = bm.color.at[out_slots].set(color_rows, mode="drop")
+
+    # The kernel skips blocks straddling the camera plane (no meaningful
+    # projected window — documented divergence from the per-voxel jnp
+    # golden); compare only rows the kernel commits to.
+    from instancefusion_tpu.geometry.se3 import se3_inverse
+
+    T_cw = np.asarray(se3_inverse(poses[1]))
+    coords = np.asarray(bm.block_coords)[np.asarray(slots)]
+    bsz = cfg.block_size * cfg.voxel_size
+    corner = np.stack(
+        [np.array([i // 4, (i // 2) % 2, i % 2], np.float32) for i in range(8)]
+    )
+    pw = np.array(cfg.origin) + (coords[:, None, :] + corner[None]) * bsz
+    zmin = (pw @ T_cw[2, :3] + T_cw[2, 3]).min(1)
+    committed = np.zeros(bm.sdf.shape[0], bool)
+    committed[np.asarray(slots)[np.asarray(valid) & (zmin > 1e-3)]] = True
+    keep_rows = ~np.zeros(bm.sdf.shape[0], bool)
+    skipped = np.asarray(slots)[np.asarray(valid) & (zmin <= 1e-3)]
+    keep_rows[skipped] = False
+    assert committed.sum() > 16  # the scene must exercise real updates
+
+    np.testing.assert_allclose(np.asarray(got_sdf)[keep_rows],
+                               np.asarray(ref.sdf)[keep_rows], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_w)[keep_rows],
+                               np.asarray(ref.weight)[keep_rows], atol=1e-5)
+    # Color association runs its one-hot contraction in bf16 (8-bit data);
+    # depth runs at Precision.HIGHEST and matches exactly.
+    np.testing.assert_allclose(np.asarray(got_c)[keep_rows],
+                               np.asarray(ref.color)[keep_rows], atol=5e-3)
+    # The kernel must actually have fused something this frame.
+    assert float(jnp.sum(np.asarray(got_w) != np.asarray(bm.weight))) > 0
