@@ -144,15 +144,16 @@ def step(
     if cfg.map_kind == "blocks" and cfg.raycast.use_splat:
         # Fast path: one shared touched-block list feeds both the fused
         # integrate and the Pallas splat-raycast prediction (zero random
-        # gathers on the prediction side).  Blocks are *allocated* only
-        # from measured depth; the prediction list adds blocks under
-        # previous-prediction pixels so depth holes keep coverage.
-        touched_meas = blocks.touched_blocks_mask(
-            depth_masked, T_new, intr, cfg.tsdf
-        )
-        volume = blocks.allocate_touched(state.volume, touched_meas, cfg.tsdf)
+        # gathers on the prediction side).  ONE band mask over the prior
+        # (= measured depth, falling back to the previous prediction at
+        # holes) serves allocation AND prediction: hole pixels' bands only
+        # cover already-predicted — hence already-allocated — blocks, so
+        # allocation from the union is a no-op there.
         prior = jnp.where(depth_masked > 0.0, depth_masked, state.pred.depth)
-        touched_pred = blocks.touched_blocks_mask(prior, T_new, intr, cfg.tsdf)
+        touched = blocks.touched_blocks_mask(
+            prior, T_new, intr, cfg.tsdf, stride=2
+        )
+        volume = blocks.allocate_touched(state.volume, touched, cfg.tsdf)
         k = min(
             cfg.tsdf.touched_capacity,
             blocks.num_blocks_per_axis(cfg.tsdf) ** 3,
@@ -163,7 +164,7 @@ def step(
             volume, T_new, intr, cfg.tsdf, cfg.raycast.near, cfg.raycast.far
         )
         slots, slot_valid = blocks.compact_touched_slots(
-            volume, touched_meas | touched_pred | carve, cfg.tsdf, k
+            volume, touched | carve, cfg.tsdf, k
         )
         volume = blocks.integrate_slots(
             volume, slots, slot_valid, depth_masked, frame_color, T_new,

@@ -89,16 +89,22 @@ def touched_blocks_mask(
     intr: Intrinsics,
     cfg: TsdfConfig,
     samples: int = 5,
+    stride: int = 1,
 ) -> jnp.ndarray:
     """Blocks intersected by this frame's truncation band: bool[Nb^3].
 
     Samples each pixel's ray at `samples` z-offsets spanning
     [-trunc-voxel, +trunc+voxel] around the measured depth and marks the
     containing block.  Dense rays (HW of them) make sparse along-ray
-    sampling sufficient — the band is ~2 blocks thick.
+    sampling sufficient — the band is ~2 blocks thick.  `stride`
+    subsamples pixels (blocks subtend >= ~10 px at practical voxel sizes
+    and ranges, so stride 2 cannot miss one; scatters are the cost here).
     """
     nb = num_blocks_per_axis(cfg)
     rays = ray_directions(intr)  # (H,W,3) unit-z
+    if stride > 1:
+        rays = rays[::stride, ::stride]
+        depth = depth[::stride, ::stride]
     R = T_wc[:3, :3]
     o = T_wc[:3, 3]
     dirs_w = rays.reshape(-1, 3) @ R.T  # unit-z dirs in world
@@ -721,12 +727,22 @@ def clean(
 
     Returns (bm, votes) with `votes` compacted consistently when given
     (instance label planes ride the same slot space).
+
+    Also reclaims *empty* blocks: space carving (frustum free-space
+    updates) drives fully-carved blocks to sdf ~ +1 at high weight — no
+    surface will ever be found there, but weight-based culling alone
+    would keep them forever and the frustum carve list would keep
+    growing.  A block with no voxel below `empty_sdf` holds no surface
+    (nor a truncation approach band) and is dropped.
     """
     c = bm.sdf.shape[0]
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
     allocated = slot_ids < bm.n_active
     best_w = jnp.max(bm.weight, axis=1)
-    live = allocated & (best_w >= min_weight)
+    observed = jnp.where(bm.weight > 0.0, bm.sdf, UNOBSERVED)
+    min_sdf = jnp.min(observed, axis=1)
+    empty = min_sdf > 0.98
+    live = allocated & (best_w >= min_weight) & jnp.logical_not(empty)
     n_live = jnp.sum(live.astype(jnp.int32))
 
     # Stable partition: live rows first, original order preserved.

@@ -71,12 +71,26 @@ def build_normal_equations(
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
     in_img = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
-    uic = jnp.clip(ui, 0, intr.width - 1)
-    vic = jnp.clip(vi, 0, intr.height - 1)
-    flat = vic * intr.width + uic
-    q_w = tgt_vertex_w.reshape(-1, 3)[flat]
-    n_t = tgt_normal_w.reshape(-1, 3)[flat]
-    assoc_valid = tgt_valid.reshape(-1)[flat]
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        # Association gather on the MXU (factored one-hot windows) — the
+        # dominant ICP cost as per-lane gathers (ops/pallas/icp.py).
+        from instancefusion_tpu.ops.pallas.icp import gather_target_maps
+
+        sel = (valid_src.reshape(-1) & in_img & (z > 0.0)).reshape(h, w)
+        q_w, n_t, assoc_valid = gather_target_maps(
+            u.reshape(h, w), v.reshape(h, w), sel,
+            tgt_vertex_w, tgt_normal_w, tgt_valid,
+        )
+        q_w = q_w.reshape(-1, 3)
+        n_t = n_t.reshape(-1, 3)
+        assoc_valid = assoc_valid.reshape(-1)
+    else:
+        uic = jnp.clip(ui, 0, intr.width - 1)
+        vic = jnp.clip(vi, 0, intr.height - 1)
+        flat = vic * intr.width + uic
+        q_w = tgt_vertex_w.reshape(-1, 3)[flat]
+        n_t = tgt_normal_w.reshape(-1, 3)[flat]
+        assoc_valid = tgt_valid.reshape(-1)[flat]
 
     diff = p_w - q_w
     dist = jnp.linalg.norm(diff, axis=-1)

@@ -195,8 +195,12 @@ def test_clean_culls_and_compacts():
     bm2, votes2 = blocks.clean(bm, CFG, min_weight=1.0, votes=votes)
     n1 = int(bm2.n_active)
     # Expected survivors: allocated rows whose best weight clears the bar
-    # (the sabotaged rows plus any never-observed band-edge blocks go).
-    expected = int((_np.asarray(w[:n0]).max(axis=1) >= 1.0).sum())
+    # AND that hold (an approach band to) a surface — fully-carved /
+    # truncation-saturated blocks are reclaimed too.
+    sdf = _np.asarray(bm.sdf)
+    observed = _np.where(w > 0.0, sdf, 2.0)
+    nonempty = observed[:n0].min(axis=1) <= 0.98
+    expected = int(((w[:n0].max(axis=1) >= 1.0) & nonempty).sum())
     assert n1 == expected
     assert n1 <= n0 - len(kill)
     # Directory consistency: every directory entry points at a live row
@@ -215,3 +219,33 @@ def test_clean_culls_and_compacts():
     assert int(m.valid.sum()) > 1000
     # Votes compacted in lockstep (all unlabeled here, shapes preserved).
     assert votes2.label.shape == votes.label.shape
+
+
+def test_clean_reclaims_carved_empty_blocks():
+    """Space-carved blocks (all observed voxels at sdf ~ +1, high weight)
+    must be culled by clean() or the frustum carve list grows forever."""
+    bm = blocks.allocate(CFG)
+    f = _frame()
+    bm = blocks.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, CFG)
+    n0 = int(bm.n_active)
+    assert n0 > 0
+    # Forge one surface block into the fully-carved state.
+    sdf_np = np.asarray(bm.sdf)
+    w_np = np.asarray(bm.weight)
+    surface = np.nonzero(
+        (np.where(w_np > 0, sdf_np, 2.0)[:n0].min(axis=1) <= 0.98)
+        & (w_np[:n0].max(axis=1) >= 1.0)
+    )[0]
+    target = int(surface[0])
+    sdf = bm.sdf.at[target].set(1.0)
+    w = bm.weight.at[target].set(32.0)
+    bm = bm._replace(sdf=sdf, weight=w)
+    before, _ = blocks.clean(
+        bm._replace(sdf=bm.sdf.at[target].set(-0.5)), CFG, min_weight=1.0
+    )
+    after, _ = blocks.clean(bm, CFG, min_weight=1.0)
+    # Carving the target block (vs giving it a surface) loses exactly it.
+    assert int(after.n_active) == int(before.n_active) - 1
+    coords = np.asarray(bm.block_coords[target])
+    assert int(after.directory[coords[0], coords[1], coords[2]]) == -1
+    assert int(before.directory[coords[0], coords[1], coords[2]]) >= 0

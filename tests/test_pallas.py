@@ -216,3 +216,39 @@ def test_fused_integrate_matches_jnp():
                                np.asarray(ref.color)[keep_rows], atol=5e-3)
     # The kernel must actually have fused something this frame.
     assert float(jnp.sum(np.asarray(got_w) != np.asarray(bm.weight))) > 0
+
+
+def test_gather_target_maps_matches_flat_gather():
+    """The MXU-factored association gather == the flat per-lane gather for
+    in-window pixels: vertices exactly (HIGHEST one-hot pass-through),
+    normals to bf16 tolerance, validity equal."""
+    rng = np.random.RandomState(0)
+    h, w = 48, 160
+    tgt_v = jnp.asarray(rng.randn(h, w, 3).astype(np.float32))
+    tgt_n = jnp.asarray(rng.randn(h, w, 3).astype(np.float32))
+    tgt_ok = jnp.asarray(rng.rand(h, w) > 0.3)
+    # Projections: smooth small offsets off the identity grid (same-image
+    # association), plus some off-image and some invalid pixels.
+    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    u = jnp.asarray(uu + rng.uniform(-3, 3, (h, w)).astype(np.float32))
+    v = jnp.asarray(vv + rng.uniform(-3, 3, (h, w)).astype(np.float32))
+    sel = jnp.asarray(rng.rand(h, w) > 0.1)
+    in_img = (jnp.round(u) >= 0) & (jnp.round(u) < w) & \
+             (jnp.round(v) >= 0) & (jnp.round(v) < h)
+    sel = sel & in_img
+
+    q, n, ok = icp_pl.gather_target_maps(u, v, sel, tgt_v, tgt_n, tgt_ok,
+                                         interpret=True)
+
+    ui = np.clip(np.round(np.asarray(u)).astype(int), 0, w - 1)
+    vi = np.clip(np.round(np.asarray(v)).astype(int), 0, h - 1)
+    q_ref = np.asarray(tgt_v)[vi, ui]
+    n_ref = np.asarray(tgt_n)[vi, ui]
+    ok_ref = np.asarray(tgt_ok)[vi, ui] & np.asarray(sel)
+
+    okn = np.asarray(ok)
+    # Kernel validity is conservative (window-dropped pixels invalid) but
+    # with +/-3 px offsets everything fits: sets must match.
+    np.testing.assert_array_equal(okn, ok_ref)
+    np.testing.assert_allclose(np.asarray(q)[okn], q_ref[okn], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n)[okn], n_ref[okn], atol=2e-2)
