@@ -36,6 +36,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                    help="write the trajectory in TUM format here")
     p.add_argument("--export-mesh", default=None,
                    help="write the reconstructed mesh (PLY) here")
+    p.add_argument("--export-instances", default=None,
+                   help="directory for per-instance model PLYs "
+                        "(instance_<id>.ply; needs --instances)")
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace (Perfetto/XProf) to this dir")
 
@@ -147,8 +150,36 @@ def cmd_run(args: argparse.Namespace) -> int:
     if args.export_mesh:
         from instancefusion_tpu.utils import meshing
 
-        verts, tris = meshing.extract_mesh(res.state.volume, cfg.tsdf)
-        meshing.save_ply(args.export_mesh, verts, tris)
+        has_color = getattr(res.state.volume, "color", None) is not None and \
+            res.state.volume.color.size > 0
+        if has_color:
+            verts, tris, cols = meshing.extract_mesh(
+                res.state.volume, cfg.tsdf, with_color=True
+            )
+            meshing.save_ply(args.export_mesh, verts, tris, colors=cols)
+        else:
+            verts, tris = meshing.extract_mesh(res.state.volume, cfg.tsdf)
+            meshing.save_ply(args.export_mesh, verts, tris)
+
+    if args.export_instances:
+        import os
+
+        from instancefusion_tpu.utils import meshing
+
+        if res.state.votes is None:
+            print("--export-instances needs --instances", file=sys.stderr)
+        else:
+            os.makedirs(args.export_instances, exist_ok=True)
+            parts = meshing.extract_instance_meshes(
+                res.state.volume, res.state.votes, cfg.tsdf
+            )
+            for gid, (v, t) in parts.items():
+                meshing.save_ply(
+                    os.path.join(args.export_instances, f"instance_{gid}.ply"),
+                    v, t,
+                )
+            if not args.quiet:
+                print(f"exported {len(parts)} instance models", file=sys.stderr)
 
     if args.export_traj:
         with open(args.export_traj, "w") as f:

@@ -126,13 +126,88 @@ def block_map_to_dense(bm, cfg):
     return sdf, w
 
 
-def extract_mesh(volume, cfg):
-    """Mesh from a TsdfVolume or BlockMap: (verts (M,3), tris (T,3))."""
+def _slot_planes_to_dense(bm, planes: np.ndarray, cfg, fill):
+    """Expand per-slot voxel planes [C, B^3, ...] to a dense grid."""
+    n, b = cfg.grid_size, cfg.block_size
+    out = np.full((n, n, n) + planes.shape[2:], fill, planes.dtype)
+    directory = np.asarray(bm.directory)
+    pl = planes.reshape((-1, b, b, b) + planes.shape[2:])
+    for bi, bj, bk in np.argwhere(directory >= 0):
+        s = directory[bi, bj, bk]
+        out[bi * b:(bi + 1) * b, bj * b:(bj + 1) * b, bk * b:(bk + 1) * b] = pl[s]
+    return out
+
+
+def _vertex_voxel_indices(verts: np.ndarray, cfg) -> tuple[np.ndarray, ...]:
+    """Nearest voxel-center index per mesh vertex, clipped to the grid."""
+    idx = np.round((verts - np.asarray(cfg.origin)) / cfg.voxel_size - 0.5)
+    idx = np.clip(idx, 0, cfg.grid_size - 1).astype(np.int64)
+    return idx[:, 0], idx[:, 1], idx[:, 2]
+
+
+def extract_mesh(volume, cfg, votes=None, with_color=False):
+    """Mesh from a TsdfVolume or BlockMap.
+
+    Returns (verts (M,3), tris (T,3)) and, when requested, appends
+    per-vertex labels (i32[M], needs ``votes``) and colors (f32[M,3],
+    needs ``with_color`` and a color-carrying map) sampled at the
+    nearest voxel.
+    """
     if hasattr(volume, "directory"):
         sdf, w = block_map_to_dense(volume, cfg)
     else:
         sdf, w = np.asarray(volume.sdf), np.asarray(volume.weight)
-    return surface_nets(sdf, w, cfg.origin, cfg.voxel_size)
+    verts, tris = surface_nets(sdf, w, cfg.origin, cfg.voxel_size)
+    if votes is None and not with_color:
+        return verts, tris
+    out = [verts, tris]
+    vi = _vertex_voxel_indices(verts, cfg)
+    if votes is not None:
+        lab = _slot_planes_to_dense(
+            volume, np.asarray(votes.label), cfg, np.int32(-1)
+        )
+        out.append(lab[vi])
+    if with_color:
+        col = np.asarray(volume.color)
+        if col.shape[1] == 0:
+            raise ValueError("map was built without color planes")
+        out.append(_slot_planes_to_dense(volume, col, cfg, np.float32(0))[vi])
+    return tuple(out)
+
+
+def extract_instance_meshes(volume, votes, cfg, min_verts: int = 8):
+    """Per-instance model extraction (reference parity: each live instance
+    can be exported as its own model; SURVEY.md §3 "Instance fusion").
+
+    One surface-nets pass over the whole map, then the mesh is split by
+    per-vertex instance label: a face belongs to instance ``i`` when at
+    least two of its corners carry label ``i``.  Returns
+    ``{instance_id: (verts (Mi,3), tris (Ti,3))}``; the unlabeled remainder
+    is omitted.  Instances with fewer than ``min_verts`` vertices are
+    dropped (speckle from boundary votes).
+    """
+    verts, tris, vlab = extract_mesh(volume, cfg, votes=votes)
+    if len(tris) == 0:
+        return {}
+    fl = vlab[tris]  # (T, 3) labels at face corners
+    # Majority-of-3: a pair agreeing wins, else unlabeled (-1).
+    face_lab = np.where(
+        fl[:, 0] == fl[:, 1], fl[:, 0],
+        np.where(fl[:, 0] == fl[:, 2], fl[:, 0],
+                 np.where(fl[:, 1] == fl[:, 2], fl[:, 1], -1)),
+    )
+    out = {}
+    for gid in np.unique(face_lab):
+        if gid < 0:
+            continue
+        f = tris[face_lab == gid]
+        used = np.unique(f)
+        if len(used) < min_verts:
+            continue
+        remap = np.full(len(verts), -1, np.int64)
+        remap[used] = np.arange(len(used))
+        out[int(gid)] = (verts[used], remap[f])
+    return out
 
 
 def save_ply(path: str, verts: np.ndarray, tris: np.ndarray | None = None,
