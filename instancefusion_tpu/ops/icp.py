@@ -237,8 +237,11 @@ def track(
             T_new = jnp.matmul(se3_exp(xi), T, precision=_PREC)
             return T_new, nin, rsum
 
+        # cfg.iters is coarse->fine (reference schedule: ~10 at the coarsest
+        # level, ~4 at full resolution); lvl counts fine->coarse, so flip.
+        n_it = cfg.iters[max(0, min(cfg.levels - 1 - lvl, len(cfg.iters) - 1))]
         T, inliers, res_sum = jax.lax.fori_loop(
-            0, cfg.iters[min(lvl, len(cfg.iters) - 1)],
+            0, n_it,
             body,
             (T, jnp.zeros(()), jnp.zeros(())),
         )
