@@ -142,29 +142,27 @@ def step(
     ops = _map_ops(cfg)
     frame_color = color if cfg.use_color else None
     if cfg.map_kind == "blocks" and cfg.raycast.use_splat:
-        # Fast path: one shared touched-block list feeds both the fused
+        # Fast path: one shared in-frustum block list feeds both the fused
         # integrate and the Pallas splat-raycast prediction (zero random
-        # gathers on the prediction side).  ONE band mask over the prior
-        # (= measured depth, falling back to the previous prediction at
-        # holes) serves allocation AND prediction: hole pixels' bands only
-        # cover already-predicted — hence already-allocated — blocks, so
-        # allocation from the union is a no-op there.
+        # gathers on the prediction side).  List-based bookkeeping (no
+        # directory-sized scatters — see blocks.discover_allocate):
+        # 1. new band blocks are discovered from the measured depth and
+        #    allocated (hole pixels' bands cover already-predicted, hence
+        #    already-allocated, blocks — nothing to discover there);
+        # 2. the integrate/carve/predict list is simply every allocated
+        #    in-frustum block: it contains the whole measurement band and
+        #    space-carves projective-TSDF fins by keeping free-space
+        #    updates flowing to in-view allocated blocks.
         prior = jnp.where(depth_masked > 0.0, depth_masked, state.pred.depth)
-        touched = blocks.touched_blocks_mask(
-            prior, T_new, intr, cfg.tsdf, stride=2
+        volume = blocks.discover_allocate(
+            state.volume, depth_masked, T_new, intr, cfg.tsdf
         )
-        volume = blocks.allocate_touched(state.volume, touched, cfg.tsdf)
         k = min(
             cfg.tsdf.touched_capacity,
             blocks.num_blocks_per_axis(cfg.tsdf) ** 3,
         )
-        # Space-carve allocated in-frustum blocks (erases projective-TSDF
-        # fins) by including them in the integrate/update list.
-        carve = blocks.frustum_allocated_mask(
-            volume, T_new, intr, cfg.tsdf, cfg.raycast.near, cfg.raycast.far
-        )
-        slots, slot_valid = blocks.compact_touched_slots(
-            volume, touched | carve, cfg.tsdf, k
+        slots, slot_valid = blocks.frustum_slots(
+            volume, T_new, intr, cfg.tsdf, cfg.raycast.near, cfg.raycast.far, k
         )
         volume = blocks.integrate_slots(
             volume, slots, slot_valid, depth_masked, frame_color, T_new,

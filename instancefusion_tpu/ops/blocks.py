@@ -173,6 +173,147 @@ def frustum_allocated_mask(
     return mask.astype(bool)
 
 
+def discover_allocate(
+    bm: BlockMap,
+    depth: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    samples: int = 5,
+    stride: int = 3,
+    alloc_cap: int = 2048,
+) -> BlockMap:
+    """Allocate this frame's new band blocks without any directory-sized scatter.
+
+    The mask-based path (`touched_blocks_mask` + `allocate_touched`)
+    scatters into — and cumsums over — the Nb^3 directory every frame;
+    XLA scatters on TPU serialize at ~10^8 elem/s, making that the
+    dominant map-bookkeeping cost (~12 ms/frame at 512^3).  This path
+    works on *lists* instead:
+
+    1. sample the measurement band (as `touched_blocks_mask`) into flat
+       block ids, (samples * H/stride * W/stride,);
+    2. one gather from the directory filters ids that are already
+       allocated (the overwhelming majority after warm-up);
+    3. `top_k` over the remaining ids sorts duplicates adjacent; a
+       neighbor-compare dedups them;
+    4. the <= alloc_cap unique new ids are assigned slots by a short
+       cumsum and scattered into directory/coords — alloc_cap-sized
+       scatters, not Nb^3-sized.
+
+    Rays with no measured depth discover nothing — their band covers
+    already-predicted, hence already-allocated, blocks.  Blocks missed by
+    the stride subsampling (footprints < stride px, i.e. beyond ~8 m at
+    1 cm voxels) are picked up by a later frame; integrate/predict lists
+    come from `frustum_slots`, so a late allocation is never UB.
+    """
+    nb = num_blocks_per_axis(cfg)
+    nb3 = nb * nb * nb
+    c = cfg.table_capacity
+    rays = ray_directions(intr)
+    if stride > 1:
+        rays = rays[::stride, ::stride]
+        depth = depth[::stride, ::stride]
+    R = T_wc[:3, :3]
+    o = T_wc[:3, 3]
+    dirs_w = rays.reshape(-1, 3) @ R.T
+    d = depth.reshape(-1)
+    valid = d > 0.0
+
+    band = cfg.trunc + cfg.voxel_size
+    offs = jnp.linspace(-band, band, samples)
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    bsz = cfg.block_size * cfg.voxel_size
+
+    ids = []
+    for i in range(samples):
+        p = o[None, :] + dirs_w * (d + offs[i])[:, None]
+        g = jnp.floor((p - origin) / bsz).astype(jnp.int32)
+        inb = jnp.all((g >= 0) & (g < nb), axis=-1) & valid
+        flat = (g[:, 0] * nb + g[:, 1]) * nb + g[:, 2]
+        ids.append(jnp.where(inb, flat, -1))
+    flat_all = jnp.concatenate(ids)
+
+    have = bm.directory.reshape(-1)[jnp.maximum(flat_all, 0)] >= 0
+    cand = jnp.where((flat_all >= 0) & jnp.logical_not(have), flat_all, -1)
+    # Dedup BEFORE selecting: a plain top_k over `cand` would fill its
+    # window with duplicates of the largest ids (a block's footprint is
+    # sampled dozens of times).  Sort (dups adjacent) -> keep first
+    # occurrence -> top_k now selects among *distinct* ids only.
+    srt = jnp.sort(cand)
+    prev_s = jnp.concatenate([jnp.full((1,), -2, jnp.int32), srt[:-1]])
+    first = (srt >= 0) & (srt != prev_s)
+    top, _ = jax.lax.top_k(jnp.where(first, srt, -1), alloc_cap)
+    uniq = top >= 0
+    order = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+    new_slot = bm.n_active + order
+    fits = uniq & (new_slot < c)
+    n_new = jnp.sum(fits.astype(jnp.int32))
+    n_drop = jnp.sum(uniq.astype(jnp.int32)) - n_new
+
+    dir_ids = jnp.where(fits, top, nb3)  # OOB -> dropped
+    dir_new = (
+        bm.directory.reshape(-1).at[dir_ids].set(new_slot, mode="drop")
+    )
+    coords = jnp.stack(
+        [top // (nb * nb), (top // nb) % nb, top % nb], axis=-1
+    ).astype(jnp.int32)
+    slot_ids = jnp.where(fits, new_slot, c)  # OOB -> dropped
+    block_coords = bm.block_coords.at[slot_ids].set(coords, mode="drop")
+
+    return bm._replace(
+        directory=dir_new.reshape(bm.directory.shape),
+        block_coords=block_coords,
+        n_active=bm.n_active + n_new,
+        overflow=bm.overflow + n_drop,
+    )
+
+
+def frustum_slots(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    near: float,
+    far: float,
+    k: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compacted list of allocated in-frustum payload slots: (i32[k], bool[k]).
+
+    Replaces the `frustum_allocated_mask` -> directory scatter ->
+    `compact_touched_slots` round trip for the per-frame fast path: the
+    in-view test runs directly over the slot axis (block_coords) and the
+    slot *indices* are compacted with one `top_k` over the capacity axis
+    — no Nb^3 array is ever touched.  Every band block is in-frustum by
+    construction (it projects into the image), so after
+    `discover_allocate` this list covers integration, space carving, and
+    splat prediction in one.
+    """
+    c = bm.block_coords.shape[0]
+    bsz = cfg.block_size * cfg.voxel_size
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    allocated = (slot_ids < bm.n_active) & (bm.block_coords[:, 0] >= 0)
+    centers = origin + (bm.block_coords.astype(jnp.float32) + 0.5) * bsz
+    p_c = transform_points(se3_inverse(T_wc), centers)
+    z = p_c[:, 2]
+    zs = jnp.maximum(z, 1e-3)
+    u = intr.fx * p_c[:, 0] / zs + intr.cx
+    v = intr.fy * p_c[:, 1] / zs + intr.cy
+    m = intr.fx * bsz / zs
+    inview = (
+        allocated
+        & (z > near - bsz)
+        & (z < far)
+        & (u > -m)
+        & (u < intr.width - 1 + m)
+        & (v > -m)
+        & (v < intr.height - 1 + m)
+    )
+    vals, slots = jax.lax.top_k(inview.astype(jnp.int32), k)
+    return slots.astype(jnp.int32), vals > 0
+
+
 def allocate_touched(bm: BlockMap, touched: jnp.ndarray, cfg: TsdfConfig) -> BlockMap:
     """Assign payload slots to touched-but-unallocated blocks (prefix sum).
 
