@@ -100,7 +100,8 @@ def main() -> None:
             touched_capacity=touched_cap,
             use_pallas=use_pallas,
         ),
-        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas),
+        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas,
+                      assoc_every=2),
         raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
                               screen_space_normals=True, use_splat=use_splat),
         preprocess=PreprocessConfig(use_pallas=use_pallas),

@@ -25,6 +25,11 @@ class IcpConfig:
     # (reference blends wICP*ICP + wRGB*RGB; 0 disables the RGB term).
     rgb_weight: float = 0.1
     damping: float = 1e-6  # Levenberg-style diagonal damping for the 6x6 solve
+    # Re-run projective association every k Gauss-Newton steps (1 = every
+    # step, the reference behavior; 2 halves the gather cost — the fixed-
+    # correspondence inner loop is the TPU-appropriate schedule since the
+    # gather, not the reduction, dominates on this hardware).
+    assoc_every: int = 1
     min_valid: int = 100  # tracking-health gate: min associated pixels
     # Use the Pallas fused normal-equation reduction (TPU; association
     # gather stays in XLA — see ops/pallas/icp.py).
@@ -142,6 +147,7 @@ def config2_tum_fr3_long_office() -> EngineConfig:
     raycast tracking, single chip."""
     return EngineConfig(
         intrinsics=TUM_FR3,
+        icp=IcpConfig(assoc_every=2),
         tsdf=TsdfConfig(voxel_size=0.01, trunc=0.04, grid_size=512,
                         origin=(-2.56, -2.56, 0.0), block_size=8,
                         table_capacity=65536),
@@ -157,6 +163,7 @@ def config3_scannet_instances() -> EngineConfig:
     voting, single host."""
     return EngineConfig(
         intrinsics=TUM_FR3,
+        icp=IcpConfig(assoc_every=2),
         tsdf=TsdfConfig(voxel_size=0.01, trunc=0.04, grid_size=512,
                         origin=(-2.56, -2.56, 0.0), block_size=8,
                         table_capacity=65536),
@@ -172,6 +179,7 @@ def config4_posegraph_sharded() -> EngineConfig:
     map blocks sharded on 1 host."""
     return EngineConfig(
         intrinsics=TUM_FR3,
+        icp=IcpConfig(assoc_every=2),
         tsdf=TsdfConfig(voxel_size=0.02, trunc=0.08, grid_size=512,
                         origin=(-5.12, -5.12, 0.0), block_size=8,
                         table_capacity=65536),
@@ -188,6 +196,7 @@ def config5_multihost() -> EngineConfig:
     fusion + collective BA."""
     return EngineConfig(
         intrinsics=TUM_FR3,
+        icp=IcpConfig(assoc_every=2),
         tsdf=TsdfConfig(voxel_size=0.02, trunc=0.08, grid_size=1024,
                         origin=(-10.24, -10.24, 0.0), block_size=8,
                         table_capacity=131072),

@@ -44,9 +44,8 @@ class TrackResult(NamedTuple):
     valid: jnp.ndarray  # () bool — tracking-health gate passed
 
 
-def build_normal_equations(
+def associate(
     vmap_src_c: jnp.ndarray,  # (H,W,3) new-frame vertices, camera frame
-    nmap_src_c: jnp.ndarray,  # (H,W,3) new-frame normals, camera frame
     valid_src: jnp.ndarray,  # (H,W)
     tgt_vertex_w: jnp.ndarray,  # (Ht,Wt,3) predicted vertices, world frame
     tgt_normal_w: jnp.ndarray,  # (Ht,Wt,3) predicted normals, world frame
@@ -56,29 +55,31 @@ def build_normal_equations(
     intr: Intrinsics,
     cfg: IcpConfig,
 ):
-    """One ICP linearization: returns (H 6x6, b 6, inliers, |r| sum).
+    """Projective data association: per source pixel, the target vertex /
+    normal it corresponds to under the current pose estimate.
 
-    Twist convention: left-multiplied increment in the world frame,
-    p' = exp(xi) @ T_est @ p, xi = [v, w] =>
-    J = d(n·(p' - q))/dxi = [n, p_w x n].
+    Returns (q_w (HW,3), n_t (HW,3), assoc_valid (HW,) bool).  The gather
+    is the expensive half of an ICP iteration on TPU; `track` re-associates
+    every `cfg.assoc_every` Gauss-Newton steps and reuses the pairs in
+    between (the reference re-associates every iteration — on a GPU the
+    `tex2D` gather is nearly free; on TPU the classic fixed-correspondence
+    inner loop is the hardware-appropriate schedule).
     """
     h, w = valid_src.shape
     p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
-    n_w = rotate_vectors(T_est_wc, nmap_src_c.reshape(-1, 3))
-    # Project into the prediction view for association.
     p_tc = transform_points(T_tgt_cw, p_w)
     u, v, z = project(intr, p_tc)
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
     in_img = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
+    sel_flat = valid_src.reshape(-1) & in_img & (z > 0.0)
     if cfg.use_pallas and jax.default_backend() == "tpu":
         # Association gather on the MXU (factored one-hot windows) — the
         # dominant ICP cost as per-lane gathers (ops/pallas/icp.py).
         from instancefusion_tpu.ops.pallas.icp import gather_target_maps
 
-        sel = (valid_src.reshape(-1) & in_img & (z > 0.0)).reshape(h, w)
         q_w, n_t, assoc_valid = gather_target_maps(
-            u.reshape(h, w), v.reshape(h, w), sel,
+            u.reshape(h, w), v.reshape(h, w), sel_flat.reshape(h, w),
             tgt_vertex_w, tgt_normal_w, tgt_valid,
         )
         q_w = q_w.reshape(-1, 3)
@@ -90,15 +91,34 @@ def build_normal_equations(
         flat = vic * intr.width + uic
         q_w = tgt_vertex_w.reshape(-1, 3)[flat]
         n_t = tgt_normal_w.reshape(-1, 3)[flat]
-        assoc_valid = tgt_valid.reshape(-1)[flat]
+        assoc_valid = tgt_valid.reshape(-1)[flat] & sel_flat
+    return q_w, n_t, assoc_valid
 
+
+def reduce_equations(
+    vmap_src_c: jnp.ndarray,  # (H,W,3)
+    nmap_src_c: jnp.ndarray,  # (H,W,3)
+    valid_src: jnp.ndarray,  # (H,W)
+    q_w: jnp.ndarray,  # (HW,3) associated target vertices
+    n_t: jnp.ndarray,  # (HW,3) associated target normals
+    assoc_valid: jnp.ndarray,  # (HW,)
+    T_est_wc: jnp.ndarray,
+    cfg: IcpConfig,
+):
+    """One Gauss-Newton linearization on fixed correspondences.
+
+    Twist convention: left-multiplied increment in the world frame,
+    p' = exp(xi) @ T_est @ p, xi = [v, w] =>
+    J = d(n·(p' - q))/dxi = [n, p_w x n].
+    Returns (H 6x6, b 6, inliers, |r| sum).
+    """
+    p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
+    n_w = rotate_vectors(T_est_wc, nmap_src_c.reshape(-1, 3))
     diff = p_w - q_w
     dist = jnp.linalg.norm(diff, axis=-1)
     n_dot = jnp.sum(n_w * n_t, axis=-1)
     mask = (
         valid_src.reshape(-1)
-        & in_img
-        & (z > 0.0)
         & assoc_valid
         & (dist < cfg.dist_thresh)
         & (n_dot > cfg.angle_thresh)
@@ -119,6 +139,29 @@ def build_normal_equations(
     inliers = jnp.sum(m)
     res_sum = jnp.sum(jnp.abs(r) * m)
     return H6, b6, inliers, res_sum
+
+
+def build_normal_equations(
+    vmap_src_c: jnp.ndarray,
+    nmap_src_c: jnp.ndarray,
+    valid_src: jnp.ndarray,
+    tgt_vertex_w: jnp.ndarray,
+    tgt_normal_w: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    T_est_wc: jnp.ndarray,
+    T_tgt_cw: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: IcpConfig,
+):
+    """One ICP linearization with fresh association (associate + reduce)."""
+    q_w, n_t, assoc_valid = associate(
+        vmap_src_c, valid_src, tgt_vertex_w, tgt_normal_w, tgt_valid,
+        T_est_wc, T_tgt_cw, intr, cfg,
+    )
+    return reduce_equations(
+        vmap_src_c, nmap_src_c, valid_src, q_w, n_t, assoc_valid,
+        T_est_wc, cfg,
+    )
 
 
 def build_rgb_equations(
@@ -216,11 +259,11 @@ def track(
         if use_rgb:
             ti = pred_intensity[:: 1 << lvl, :: 1 << lvl]
 
-        def body(_, carry):
-            T, _, _ = carry
-            H6, b6, nin, rsum = build_normal_equations(
+        def inner_body(_, carry):
+            T, _, _, q_w, n_t, a_ok = carry
+            H6, b6, nin, rsum = reduce_equations(
                 src["vmap"], src["nmap"], src["valid"],
-                tv, tn, tval, T, T_pred_cw, intr_l, cfg,
+                q_w, n_t, a_ok, T, cfg,
             )
             if use_rgb:
                 Hr, br, _, _ = build_rgb_equations(
@@ -235,14 +278,31 @@ def track(
             ok = nin >= cfg.min_valid
             xi = jnp.where(ok, xi, jnp.zeros_like(xi))
             T_new = jnp.matmul(se3_exp(xi), T, precision=_PREC)
-            return T_new, nin, rsum
+            return T_new, nin, rsum, q_w, n_t, a_ok
+
+        def outer_body(_, carry):
+            T, nin, rsum = carry
+            q_w, n_t, a_ok = associate(
+                src["vmap"], src["valid"], tv, tn, tval,
+                T, T_pred_cw, intr_l, cfg,
+            )
+            T, nin, rsum, _, _, _ = jax.lax.fori_loop(
+                0, inner_n,
+                inner_body,
+                (T, nin, rsum, q_w, n_t, a_ok),
+            )
+            return T, nin, rsum
 
         # cfg.iters is coarse->fine (reference schedule: ~10 at the coarsest
         # level, ~4 at full resolution); lvl counts fine->coarse, so flip.
+        # Association (the gather) runs every `assoc_every` GN steps; the
+        # steps in between reuse the correspondences (see `associate`).
         n_it = cfg.iters[max(0, min(cfg.levels - 1 - lvl, len(cfg.iters) - 1))]
+        inner_n = max(1, min(cfg.assoc_every, n_it))
+        outer_n = -(-n_it // inner_n)
         T, inliers, res_sum = jax.lax.fori_loop(
-            0, n_it,
-            body,
+            0, outer_n,
+            outer_body,
             (T, jnp.zeros(()), jnp.zeros(())),
         )
         res_mean = res_sum / jnp.maximum(inliers, 1.0)
