@@ -181,7 +181,7 @@ def discover_allocate(
     cfg: TsdfConfig,
     samples: int = 5,
     stride: int = 3,
-    alloc_cap: int = 2048,
+    alloc_cap: int = 4096,
 ) -> BlockMap:
     """Allocate this frame's new band blocks without any directory-sized scatter.
 
@@ -234,17 +234,18 @@ def discover_allocate(
         ids.append(jnp.where(inb, flat, -1))
     flat_all = jnp.concatenate(ids)
 
-    have = bm.directory.reshape(-1)[jnp.maximum(flat_all, 0)] >= 0
-    cand = jnp.where((flat_all >= 0) & jnp.logical_not(have), flat_all, -1)
-    # Dedup BEFORE selecting: a plain top_k over `cand` would fill its
-    # window with duplicates of the largest ids (a block's footprint is
-    # sampled dozens of times).  Sort (dups adjacent) -> keep first
-    # occurrence -> top_k now selects among *distinct* ids only.
-    srt = jnp.sort(cand)
+    # Dedup BEFORE selecting: a plain top_k over the samples would fill
+    # its window with duplicates of the largest ids (a block's footprint
+    # is sampled dozens of times).  Sort (dups adjacent) -> keep first
+    # occurrence -> top_k selects among *distinct* ids; only those
+    # <= alloc_cap survivors hit the directory (one tiny gather) to filter
+    # already-allocated blocks.
+    srt = jnp.sort(flat_all)
     prev_s = jnp.concatenate([jnp.full((1,), -2, jnp.int32), srt[:-1]])
     first = (srt >= 0) & (srt != prev_s)
     top, _ = jax.lax.top_k(jnp.where(first, srt, -1), alloc_cap)
-    uniq = top >= 0
+    have = bm.directory.reshape(-1)[jnp.maximum(top, 0)] >= 0
+    uniq = (top >= 0) & jnp.logical_not(have)
     order = jnp.cumsum(uniq.astype(jnp.int32)) - 1
     new_slot = bm.n_active + order
     fits = uniq & (new_slot < c)
