@@ -41,6 +41,13 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                         "(instance_<id>.ply; needs --instances)")
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace (Perfetto/XProf) to this dir")
+    p.add_argument("--stream-every", type=int, default=0,
+                   help="active-window block streaming cadence (0 = off)")
+    p.add_argument("--stream-radius", type=float, default=4.0,
+                   help="active-window radius in meters (blocks beyond "
+                        "stream to host DRAM)")
+    p.add_argument("--clean-every", type=int, default=0,
+                   help="map hygiene cadence (confidence culling, 0 = off)")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -144,6 +151,9 @@ def cmd_run(args: argparse.Namespace) -> int:
             checkpoint_every=args.checkpoint_every,
             enable_loops=args.loops,
             resume=args.resume,
+            clean_every=args.clean_every,
+            stream_every=args.stream_every,
+            stream_radius=args.stream_radius,
         )
     metrics.close()
 

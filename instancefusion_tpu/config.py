@@ -25,11 +25,23 @@ class IcpConfig:
     # (reference blends wICP*ICP + wRGB*RGB; 0 disables the RGB term).
     rgb_weight: float = 0.1
     damping: float = 1e-6  # Levenberg-style diagonal damping for the 6x6 solve
+    # Huber IRLS weight on the point-to-plane residual (meters; 0 = hard
+    # gating only, the reference behavior).  Downweights residuals beyond
+    # delta — association outliers and TSDF-bias regions (curved/grazing
+    # surfaces reconstruct a few mm off at coarse voxels) stop dragging
+    # the solution; same elementwise cost as the binary mask.
+    huber_delta: float = 0.0
     # Re-run projective association every k Gauss-Newton steps (1 = every
     # step, the reference behavior; 2 halves the gather cost — the fixed-
     # correspondence inner loop is the TPU-appropriate schedule since the
     # gather, not the reduction, dominates on this hardware).
     assoc_every: int = 1
+    # Constant-velocity motion-model seed: the ICP initial pose replays
+    # `vel_seed` x the previous frame's twist (0 = previous-pose seed, the
+    # reference behavior; 1 = full constant velocity).  Partial damping
+    # trades basin-of-convergence reach against error amplification when
+    # the previous estimate itself drifted.
+    vel_seed: float = 0.0
     min_valid: int = 100  # tracking-health gate: min associated pixels
     # Use the Pallas fused normal-equation reduction (TPU; association
     # gather stays in XLA — see ops/pallas/icp.py).
@@ -53,6 +65,11 @@ class TsdfConfig:
     # overflow beyond this is skipped for the frame and counted.  Typical
     # frames touch 500-2500 blocks at 512^3.
     touched_capacity: int = 4096
+    # Static per-frame touched ROW-GROUP list size for the group-addressed
+    # TPU kernels (8 consecutive payload rows per group; see
+    # ops/pallas/tsdf.fused_integrate_groups).  Frames touch fewer groups
+    # than blocks (allocation order gives spatial locality).
+    group_capacity: int = 1024
     # Use the Pallas fused payload-update kernels (TPU; ops/pallas/tsdf.py).
     use_pallas: bool = False
 

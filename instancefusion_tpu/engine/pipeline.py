@@ -60,6 +60,8 @@ def run(
     relocalize_after: int = 5,
     clean_every: int = 0,
     retire_every: int = 0,
+    stream_every: int = 0,
+    stream_radius: float = 4.0,
 ) -> PipelineResult:
     """Run the full pipeline over `frames` (iterable of dataset Frames).
 
@@ -78,6 +80,15 @@ def run(
             )
         except FileNotFoundError:
             pass
+
+    streamer = None
+    if stream_every and cfg.map_kind == "blocks":
+        from instancefusion_tpu.engine.streaming import BlockStreamer
+
+        streamer = BlockStreamer(
+            cfg.tsdf, radius=stream_radius,
+            with_color=cfg.use_color, with_votes=cfg.use_instances,
+        )
 
     pgc = cfg.posegraph
     est: list[np.ndarray] = []
@@ -116,6 +127,13 @@ def run(
                     )
                     if bool(ok):
                         T_new = jnp.matmul(T_cand, T_rel, precision=_PREC)
+                        if streamer is not None:
+                            # The re-seated view may cover streamed-out
+                            # geometry — admit the window there first.
+                            volume, votes, _ = streamer.tick(
+                                state.volume, state.votes, T_new
+                            )
+                            state = state._replace(volume=volume, votes=votes)
                         # Re-render the model prediction from the re-seated
                         # pose: the stale prediction views the wrong part of
                         # the map and would starve the next ICP of
@@ -124,10 +142,17 @@ def run(
                             state.volume, T_new, cfg.intrinsics, cfg.tsdf,
                             cfg.raycast, with_color=cfg.use_color,
                         )
+                        # No map-based "polish" here on purpose: the
+                        # verify-vs-keyframe ICP ran against raw (undrifted)
+                        # sensor geometry and is the most accurate estimate
+                        # available; refining against the map prediction
+                        # would re-absorb whatever drift got fused into the
+                        # map around the revisited view.
                         state = state._replace(
                             T_wc=T_new,
                             pred=pred,
                             pred_T_wc=T_new,
+                            T_prev_wc=T_new,  # zero the velocity model
                             lost_frames=jnp.zeros((), jnp.int32),
                         )
                         relocalized = True
@@ -176,6 +201,12 @@ def run(
                             pred_T_wc=jnp.matmul(
                                 corr, state.pred_T_wc, precision=_PREC
                             ),
+                            # Rotate the velocity reference into the
+                            # corrected frame too, else the next seed
+                            # extrapolates across the correction jump.
+                            T_prev_wc=jnp.matmul(
+                                corr, state.T_prev_wc, precision=_PREC
+                            ),
                         )
                         n_loops += 1
                         closed = True
@@ -201,6 +232,13 @@ def run(
             state = state._replace(
                 table=inst.retire_stale(state.table, cfg.instances)
             )
+        stream_stats = {}
+        if streamer is not None and (i + 1) % stream_every == 0:
+            with timer.phase("stream"):
+                volume, votes, stream_stats = streamer.tick(
+                    state.volume, state.votes, state.T_wc
+                )
+                state = state._replace(volume=volume, votes=votes)
 
         est.append(np.asarray(state.T_wc))
         if metrics is not None:
@@ -214,6 +252,7 @@ def run(
                     "loop_closed": closed,
                     "relocalized": relocalized,
                     "lost_frames": int(state.lost_frames),
+                    **stream_stats,
                     **{f"t_{k}_ms": round(v, 2) for k, v in timer.times_ms.items()},
                 }
             )

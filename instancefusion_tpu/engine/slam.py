@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from instancefusion_tpu.config import EngineConfig
 from instancefusion_tpu.engine import instances as inst
+from instancefusion_tpu.geometry.se3 import se3_inverse
 from instancefusion_tpu.models.segmentation import Segmentation
 from instancefusion_tpu.ops import blocks, icp, labels, preprocess, raycast as rc, tsdf
 
@@ -52,6 +53,12 @@ class SlamState(NamedTuple):
     pred_T_wc: jnp.ndarray  # (4,4) pose the prediction was rendered from
     frame_idx: jnp.ndarray  # () i32
     lost_frames: jnp.ndarray  # () i32 — consecutive tracking failures
+    # Previous frame's pose — feeds the constant-velocity ICP seed
+    # (T_seed = T_wc · T_prev⁻¹·T_wc, i.e. replay the last camera-frame
+    # increment).  The reference seeds with the previous pose only; the
+    # velocity seed converges where large inter-frame motion would
+    # otherwise exceed the projective-association basin.
+    T_prev_wc: jnp.ndarray = None
     # Instance subsystem (None unless cfg.use_instances; None is an empty
     # pytree node, so the no-instance jit signature is unchanged).
     votes: labels.LabelVotes | None = None
@@ -90,6 +97,7 @@ def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamS
         pred_T_wc=T0,
         frame_idx=jnp.zeros((), jnp.int32),
         lost_frames=jnp.zeros((), jnp.int32),
+        T_prev_wc=T0,
         votes=votes,
         table=table,
     )
@@ -112,12 +120,13 @@ def step(
     pred_intensity = (
         preprocess.rgb_to_intensity(state.pred.color) if cfg.use_color else None
     )
+    T_seed = _motion_seed(state.T_wc, state.T_prev_wc, cfg.icp.vel_seed)
     result = icp.track(
         pyr,
         state.pred.vertex_w,
         state.pred.normal_w,
         state.pred.valid,
-        state.T_wc,
+        T_seed,
         state.pred_T_wc,
         intr,
         cfg.icp,
@@ -157,24 +166,48 @@ def step(
         volume = blocks.discover_allocate(
             state.volume, depth_masked, T_new, intr, cfg.tsdf
         )
-        k = min(
-            cfg.tsdf.touched_capacity,
-            blocks.num_blocks_per_axis(cfg.tsdf) ** 3,
-        )
-        slots, slot_valid = blocks.frustum_slots(
-            volume, T_new, intr, cfg.tsdf, cfg.raycast.near, cfg.raycast.far, k
-        )
-        volume = blocks.integrate_slots(
-            volume, slots, slot_valid, depth_masked, frame_color, T_new,
-            intr, cfg.tsdf,
-        )
-        pred = blocks.raycast_splat(
-            volume, T_new, intr, cfg.tsdf, slots, slot_valid,
-            with_color=cfg.use_color,
-            interpret=jax.default_backend() != "tpu",
-            depth_prior=prior,
-            rmax=cfg.raycast.splat_rmax,
-        )
+        if cfg.tsdf.use_pallas and jax.default_backend() == "tpu":
+            # Group-addressed kernels: payload rows stream through data-
+            # dependent BlockSpec index maps (integrate updates in place)
+            # — zero XLA row gathers/scatters on the per-frame path.
+            kg = min(
+                cfg.tsdf.group_capacity,
+                cfg.tsdf.table_capacity // 8,
+            )
+            gids, row_valid = blocks.frustum_groups(
+                volume, T_new, intr, cfg.tsdf,
+                cfg.raycast.near, cfg.raycast.far, kg,
+            )
+            volume = blocks.integrate_groups(
+                volume, gids, row_valid, depth_masked, frame_color, T_new,
+                intr, cfg.tsdf,
+            )
+            pred = blocks.raycast_splat_groups(
+                volume, T_new, intr, cfg.tsdf, gids, row_valid,
+                with_color=cfg.use_color,
+                depth_prior=prior,
+                rmax=cfg.raycast.splat_rmax,
+            )
+        else:
+            k = min(
+                cfg.tsdf.touched_capacity,
+                blocks.num_blocks_per_axis(cfg.tsdf) ** 3,
+            )
+            slots, slot_valid = blocks.frustum_slots(
+                volume, T_new, intr, cfg.tsdf,
+                cfg.raycast.near, cfg.raycast.far, k,
+            )
+            volume = blocks.integrate_slots(
+                volume, slots, slot_valid, depth_masked, frame_color, T_new,
+                intr, cfg.tsdf,
+            )
+            pred = blocks.raycast_splat(
+                volume, T_new, intr, cfg.tsdf, slots, slot_valid,
+                with_color=cfg.use_color,
+                interpret=jax.default_backend() != "tpu",
+                depth_prior=prior,
+                rmax=cfg.raycast.splat_rmax,
+            )
     else:
         volume = ops.integrate(
             state.volume, depth_masked, frame_color, T_new, intr, cfg.tsdf
@@ -206,6 +239,9 @@ def step(
         lost_frames=jnp.where(
             result.valid | first, 0, state.lost_frames + 1
         ).astype(jnp.int32),
+        # On failure T_new == T_wc, so setting prev := old pose keeps the
+        # velocity term identity (no runaway extrapolation while lost).
+        T_prev_wc=jnp.where(result.valid, state.T_wc, T_new),
     )
     info = StepInfo(
         inliers=result.inliers,
@@ -262,6 +298,26 @@ def step_seg(
         cfg.tsdf,
     )
     return new_state._replace(votes=votes, table=table), info
+
+
+def _motion_seed(T_wc, T_prev_wc, vel: float):
+    """ICP initial pose from a damped constant-velocity motion model.
+
+    Replays `vel` x the previous frame's camera-frame twist on top of the
+    current pose: vel=0 is the reference's previous-pose seed, vel=1 full
+    constant velocity.  After a lost frame (or at start) the stored
+    increment is identity, so this degrades gracefully.
+    """
+    if vel == 0.0:
+        return T_wc
+    from instancefusion_tpu.geometry.se3 import se3_exp, se3_log
+
+    prec = jax.lax.Precision.HIGHEST
+    delta = jnp.matmul(se3_inverse(T_prev_wc), T_wc, precision=prec)
+    if vel != 1.0:
+        delta = se3_exp(vel * se3_log(delta))
+    T_seed = jnp.matmul(T_wc, delta, precision=prec)
+    return jnp.where(jnp.all(jnp.isfinite(T_seed)), T_seed, T_wc)
 
 
 def tsdf_integrate_count(depth: jnp.ndarray) -> jnp.ndarray:

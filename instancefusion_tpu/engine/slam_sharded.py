@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from instancefusion_tpu.config import EngineConfig
-from instancefusion_tpu.engine.slam import StepInfo, tsdf_integrate_count
+from instancefusion_tpu.engine.slam import StepInfo, _motion_seed, tsdf_integrate_count
 from instancefusion_tpu.ops import icp, preprocess, raycast as rc
 from instancefusion_tpu.parallel import shard
 from instancefusion_tpu.parallel.mesh import SHARD_AXIS
@@ -31,6 +31,13 @@ class ShardedSlamState(NamedTuple):
     pred_T_wc: jnp.ndarray
     frame_idx: jnp.ndarray
     lost_frames: jnp.ndarray
+    # Previous frame's pose (constant-velocity ICP seed — engine/slam.py).
+    T_prev_wc: jnp.ndarray = None
+    # Instance subsystem (cfg.use_instances): votes shard with the block
+    # payloads; the instance table is replicated (it is tiny and updated
+    # from replicated images).
+    votes: object = None
+    table: object = None
 
 
 def init_state(cfg: EngineConfig, mesh: Mesh, T_init_wc=None) -> ShardedSlamState:
@@ -46,6 +53,12 @@ def init_state(cfg: EngineConfig, mesh: Mesh, T_init_wc=None) -> ShardedSlamStat
         valid=jnp.zeros((h, w), bool),
     )
     T0 = jnp.eye(4, dtype=jnp.float32) if T_init_wc is None else T_init_wc
+    votes = table = None
+    if cfg.use_instances:
+        from instancefusion_tpu.engine import instances as inst
+
+        votes = shard.allocate_votes(cfg.tsdf, num_shards)
+        table = inst.allocate(cfg.instances)
     return ShardedSlamState(
         T_wc=T0,
         volume=volume,
@@ -53,6 +66,9 @@ def init_state(cfg: EngineConfig, mesh: Mesh, T_init_wc=None) -> ShardedSlamStat
         pred_T_wc=T0,
         frame_idx=jnp.zeros((), jnp.int32),
         lost_frames=jnp.zeros((), jnp.int32),
+        T_prev_wc=T0,
+        votes=votes,
+        table=table,
     )
 
 
@@ -73,12 +89,13 @@ def make_step(cfg: EngineConfig, mesh: Mesh):
         pred_intensity = (
             preprocess.rgb_to_intensity(state.pred.color) if cfg.use_color else None
         )
+        T_seed = _motion_seed(state.T_wc, state.T_prev_wc, cfg.icp.vel_seed)
         result = icp.track(
             pyr,
             state.pred.vertex_w,
             state.pred.normal_w,
             state.pred.valid,
-            state.T_wc,
+            T_seed,
             state.pred_T_wc,
             intr,
             cfg.icp,
@@ -104,7 +121,7 @@ def make_step(cfg: EngineConfig, mesh: Mesh):
             volume, T_new, mesh, intr, cfg.tsdf, cfg.raycast,
             with_color=cfg.use_color,
         )
-        new_state = ShardedSlamState(
+        new_state = state._replace(
             T_wc=T_new,
             volume=volume,
             pred=pred,
@@ -113,6 +130,7 @@ def make_step(cfg: EngineConfig, mesh: Mesh):
             lost_frames=jnp.where(result.valid | first, 0, state.lost_frames + 1).astype(
                 jnp.int32
             ),
+            T_prev_wc=jnp.where(result.valid, state.T_wc, T_new),
         )
         info = StepInfo(
             inliers=result.inliers,
@@ -123,3 +141,41 @@ def make_step(cfg: EngineConfig, mesh: Mesh):
         return new_state, info
 
     return step
+
+
+def make_step_seg(cfg: EngineConfig, mesh: Mesh):
+    """Sharded `step` + distributed instance fusion (engine/slam.step_seg).
+
+    The per-voxel votes shard with the block payloads (zero-communication
+    voting into owned rows); the predicted instance-id image composites
+    with one `pmax`; the instance table stays replicated — it is updated
+    from replicated images by the same associate() as the single-device
+    engine, so every shard computes the identical table.
+    """
+    assert cfg.use_instances, "make_step_seg requires cfg.use_instances"
+    from instancefusion_tpu.engine import instances as inst
+    from instancefusion_tpu.ops import labels
+
+    base = make_step(cfg, mesh)
+    intr = cfg.intrinsics
+
+    @jax.jit
+    def step_seg(state: ShardedSlamState, depth, color, seg):
+        new_state, info = base(state, depth, color)
+        mask_id = labels.refine_mask_edges(seg.mask_id, depth)
+        seg_r = seg._replace(mask_id=mask_id)
+        pred_gid = shard.sample_labels(
+            new_state.votes, new_state.volume,
+            new_state.pred.vertex_w, new_state.pred.valid, mesh, cfg.tsdf,
+        )
+        gid_image, table = inst.associate(
+            new_state.table, seg_r, pred_gid, cfg.instances
+        )
+        depth_gated = jnp.where(info.track_ok, depth, jnp.zeros_like(depth))
+        votes = shard.fuse_labels(
+            new_state.votes, new_state.volume, gid_image, depth_gated,
+            new_state.T_wc, mesh, intr, cfg.tsdf,
+        )
+        return new_state._replace(votes=votes, table=table), info
+
+    return step_seg

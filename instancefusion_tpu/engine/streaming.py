@@ -1,0 +1,165 @@
+"""Active-window block streaming: HBM <-> host DRAM.
+
+The reference bounds map growth with surfel culling and a time-windowed
+active/inactive model split (SURVEY.md §6 "long-context": the map — not a
+sequence — is the long axis here).  On TPU the analog is explicit
+capacity management: HBM holds only the **active window** of voxel blocks
+around the camera; cold blocks stream to host DRAM and stream back when
+the camera returns.  This keeps `table_capacity` (and with it every
+per-frame top_k/compaction) bounded by the *local* scene complexity
+instead of the whole building.
+
+Division of labor:
+
+- Device side (`ops/blocks.partition_window` / `admit_rows`): compaction
+  and slot bookkeeping under jit, with a bounded eviction buffer so a
+  streaming tick never pulls the full table over PCIe/tunnel.
+- Host side (this module): a plain-numpy store keyed by flat block id,
+  plus the policy (what radius, when to admit).
+
+Invariant: a block lives on device XOR in the store (admission removes it
+from the store; eviction inserts it).  Re-admitted payloads are
+bit-identical to what was evicted.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instancefusion_tpu.config import TsdfConfig
+from instancefusion_tpu.ops import blocks as blk
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 5))
+def _partition_jit(bm, cfg, center_w, radius, votes, evict_cap):
+    return blk.partition_window(bm, cfg, center_w, radius, evict_cap, votes)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _admit_jit(bm, cfg, coords, sdf, weight, color, valid, votes, label, count):
+    return blk.admit_rows(
+        bm, cfg, coords, sdf, weight, color, valid, votes, label, count
+    )
+
+
+class BlockStreamer:
+    """Host-DRAM block store + streaming policy.
+
+    Call `tick(volume, votes, T_wc)` at a low cadence (the pipeline wires
+    `stream_every`); it admits stored blocks that re-entered the window,
+    then evicts live blocks that left it.  Returns the updated
+    (volume, votes) plus a stats dict for metrics.
+    """
+
+    def __init__(
+        self,
+        cfg: TsdfConfig,
+        radius: float,
+        evict_cap: int = 1024,
+        admit_cap: int = 1024,
+        with_color: bool = True,
+        with_votes: bool = False,
+    ):
+        self.cfg = cfg
+        self.radius = float(radius)
+        self.evict_cap = int(evict_cap)
+        self.admit_cap = int(admit_cap)
+        self.with_color = with_color
+        self.with_votes = with_votes
+        # flat block id -> dict of numpy rows
+        self.store: dict[int, dict[str, np.ndarray]] = {}
+        b3 = cfg.block_size**3
+        self._zero = {
+            "coords": np.full((3,), -1, np.int32),
+            "sdf": np.full((b3,), blk.UNOBSERVED, np.float32),
+            "weight": np.zeros((b3,), np.float32),
+        }
+        if with_color:
+            self._zero["color"] = np.zeros((b3, 3), np.float32)
+        if with_votes:
+            self._zero["label"] = np.full((b3,), -1, np.int32)
+            self._zero["count"] = np.zeros((b3,), np.float32)
+
+    def _centers(self, flat_ids: np.ndarray) -> np.ndarray:
+        nb = blk.num_blocks_per_axis(self.cfg)
+        bsz = self.cfg.block_size * self.cfg.voxel_size
+        coords = np.stack(
+            [flat_ids // (nb * nb), (flat_ids // nb) % nb, flat_ids % nb], axis=-1
+        )
+        return np.asarray(self.cfg.origin) + (coords + 0.5) * bsz
+
+    def admit(self, volume, votes, center_w: np.ndarray):
+        """Move stored blocks whose center is inside the window to device."""
+        if not self.store:
+            return volume, votes, 0
+        ids = np.fromiter(self.store.keys(), dtype=np.int64)
+        dist = np.linalg.norm(self._centers(ids) - center_w[None, :], axis=-1)
+        hot = ids[dist <= self.radius][: self.admit_cap]
+        if hot.size == 0:
+            return volume, votes, 0
+        rows = [self.store.pop(int(i)) for i in hot]
+        n = self.admit_cap
+
+        def batch(key):
+            out = np.stack([r[key] for r in rows])
+            pad = np.broadcast_to(self._zero[key], (n - len(rows),) + self._zero[key].shape)
+            return jnp.asarray(np.concatenate([out, pad], axis=0))
+
+        valid = jnp.asarray(
+            np.concatenate([np.ones(len(rows), bool), np.zeros(n - len(rows), bool)])
+        )
+        volume, votes, fits = _admit_jit(
+            volume, self.cfg, batch("coords"), batch("sdf"), batch("weight"),
+            batch("color") if self.with_color else None, valid, votes,
+            batch("label") if self.with_votes else None,
+            batch("count") if self.with_votes else None,
+        )
+        # Blocks that didn't fit (capacity) go back to the store.
+        fits_np = np.asarray(fits)[: len(rows)]
+        for i, r in enumerate(rows):
+            if not fits_np[i]:
+                self.store[int(hot[i])] = r
+        return volume, votes, int(fits_np.sum())
+
+    def evict(self, volume, votes, center_w: np.ndarray):
+        """Move live blocks outside the window to the host store."""
+        volume, votes_new, ev = _partition_jit(
+            volume, self.cfg, jnp.asarray(center_w, jnp.float32),
+            self.radius, votes, self.evict_cap,
+        )
+        ev = jax.device_get(ev)
+        nb = blk.num_blocks_per_axis(self.cfg)
+        n_out = 0
+        for i in range(ev["valid"].shape[0]):
+            if not ev["valid"][i]:
+                continue
+            cxyz = ev["coords"][i]
+            fid = int((cxyz[0] * nb + cxyz[1]) * nb + cxyz[2])
+            row = {
+                "coords": ev["coords"][i],
+                "sdf": ev["sdf"][i],
+                "weight": ev["weight"][i],
+            }
+            if self.with_color:
+                row["color"] = ev["color"][i]
+            if self.with_votes:
+                row["label"] = ev["label"][i]
+                row["count"] = ev["count"][i]
+            self.store[fid] = row
+            n_out += 1
+        return volume, (votes_new if votes is not None else votes), n_out
+
+    def tick(self, volume, votes, T_wc):
+        """One streaming step: admit re-entering blocks, evict cold ones."""
+        center = np.asarray(T_wc)[:3, 3]
+        volume, votes, n_in = self.admit(volume, votes, center)
+        volume, votes, n_out = self.evict(volume, votes, center)
+        return volume, votes, {
+            "stream_in": n_in,
+            "stream_out": n_out,
+            "stored_blocks": len(self.store),
+        }

@@ -248,7 +248,7 @@ def discover_allocate(
     uniq = (top >= 0) & jnp.logical_not(have)
     order = jnp.cumsum(uniq.astype(jnp.int32)) - 1
     new_slot = bm.n_active + order
-    fits = uniq & (new_slot < c)
+    fits = uniq & (new_slot < c - RESERVED_SLOTS)
     n_new = jnp.sum(fits.astype(jnp.int32))
     n_drop = jnp.sum(uniq.astype(jnp.int32)) - n_new
 
@@ -267,6 +267,38 @@ def discover_allocate(
         block_coords=block_coords,
         n_active=bm.n_active + n_new,
         overflow=bm.overflow + n_drop,
+    )
+
+
+def frustum_mask(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    near: float,
+    far: float,
+) -> jnp.ndarray:
+    """Allocated blocks whose center is inside the view frustum: bool[C]."""
+    c = bm.block_coords.shape[0]
+    bsz = cfg.block_size * cfg.voxel_size
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    allocated = (slot_ids < bm.n_active) & (bm.block_coords[:, 0] >= 0)
+    centers = origin + (bm.block_coords.astype(jnp.float32) + 0.5) * bsz
+    p_c = transform_points(se3_inverse(T_wc), centers)
+    z = p_c[:, 2]
+    zs = jnp.maximum(z, 1e-3)
+    u = intr.fx * p_c[:, 0] / zs + intr.cx
+    v = intr.fy * p_c[:, 1] / zs + intr.cy
+    m = intr.fx * bsz / zs
+    return (
+        allocated
+        & (z > near - bsz)
+        & (z < far)
+        & (u > -m)
+        & (u < intr.width - 1 + m)
+        & (v > -m)
+        & (v < intr.height - 1 + m)
     )
 
 
@@ -290,29 +322,45 @@ def frustum_slots(
     `discover_allocate` this list covers integration, space carving, and
     splat prediction in one.
     """
-    c = bm.block_coords.shape[0]
-    bsz = cfg.block_size * cfg.voxel_size
-    origin = jnp.asarray(cfg.origin, jnp.float32)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
-    allocated = (slot_ids < bm.n_active) & (bm.block_coords[:, 0] >= 0)
-    centers = origin + (bm.block_coords.astype(jnp.float32) + 0.5) * bsz
-    p_c = transform_points(se3_inverse(T_wc), centers)
-    z = p_c[:, 2]
-    zs = jnp.maximum(z, 1e-3)
-    u = intr.fx * p_c[:, 0] / zs + intr.cx
-    v = intr.fy * p_c[:, 1] / zs + intr.cy
-    m = intr.fx * bsz / zs
-    inview = (
-        allocated
-        & (z > near - bsz)
-        & (z < far)
-        & (u > -m)
-        & (u < intr.width - 1 + m)
-        & (v > -m)
-        & (v < intr.height - 1 + m)
-    )
+    inview = frustum_mask(bm, T_wc, intr, cfg, near, far)
     vals, slots = jax.lax.top_k(inview.astype(jnp.int32), k)
     return slots.astype(jnp.int32), vals > 0
+
+
+def frustum_groups(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    near: float,
+    far: float,
+    kg: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """In-frustum payload ROW GROUPS: (gids i32[kg], row_valid bool[kg, 8]).
+
+    The group-indexed fast path (ops/pallas/tsdf.fused_integrate_groups /
+    raycast.splat_depth_groups): payload rows are addressed as groups of 8
+    consecutive slots, which Pallas kernels read/write directly through
+    data-dependent BlockSpec index maps — eliminating the XLA row
+    gather + scatter (~1 ms per plane per frame at 2048 rows) entirely.
+    Pad entries point at the RESERVED last group (never allocated — see
+    `reserved_slots`), so duplicate-visit hazards cannot occur.
+    """
+    c = bm.block_coords.shape[0]
+    inview = frustum_mask(bm, T_wc, intr, cfg, near, far)
+    by_group = inview.reshape(-1, 8)
+    gmask = jnp.any(by_group, axis=1)
+    vals, gids = jax.lax.top_k(gmask.astype(jnp.int32), kg)
+    gvalid = vals > 0
+    gids = jnp.where(gvalid, gids, c // 8 - 1).astype(jnp.int32)
+    row_valid = by_group[gids] & gvalid[:, None]
+    return gids, row_valid
+
+
+# Payload slots reserved as the Pallas group-kernels' pad target: the last
+# group of 8 rows is never allocated, so pad grid steps that read/write it
+# can never race with a real update.
+RESERVED_SLOTS = 8
 
 
 def allocate_touched(bm: BlockMap, touched: jnp.ndarray, cfg: TsdfConfig) -> BlockMap:
@@ -328,7 +376,7 @@ def allocate_touched(bm: BlockMap, touched: jnp.ndarray, cfg: TsdfConfig) -> Blo
     need = touched & (dir_flat < 0)
     order = jnp.cumsum(need.astype(jnp.int32)) - 1  # rank among new blocks
     new_slot = bm.n_active + order
-    fits = need & (new_slot < c)
+    fits = need & (new_slot < c - RESERVED_SLOTS)
     n_new = jnp.sum(fits.astype(jnp.int32))
     n_drop = jnp.sum(need.astype(jnp.int32)) - n_new
 
@@ -494,6 +542,37 @@ def integrate_slots(
         new_color = bm.color.at[out_slots].set(c_new, mode="drop")
 
     return bm._replace(sdf=new_sdf, weight=new_w, color=new_color)
+
+
+def integrate_groups(
+    bm: BlockMap,
+    gids: jnp.ndarray,  # i32[KG] payload row groups (frustum_groups)
+    row_valid: jnp.ndarray,  # bool[KG, 8]
+    depth: jnp.ndarray,
+    color: jnp.ndarray | None,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+) -> BlockMap:
+    """Group-addressed fuse: payload planes updated IN PLACE (TPU path).
+
+    See ops/pallas/tsdf.fused_integrate_groups — eliminates the XLA row
+    gather/scatter of the slot-list path.  The CPU/golden fallback
+    flattens the groups to a slot list and reuses `integrate_slots`.
+    """
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from instancefusion_tpu.ops.pallas.tsdf import fused_integrate_groups
+
+        frame_color = color if (color is not None and bm.color.size) else None
+        sdf, w, col = fused_integrate_groups(
+            gids, row_valid, bm.block_coords, bm.sdf, bm.weight, bm.color,
+            depth, frame_color, T_wc, intr, cfg,
+        )
+        return bm._replace(sdf=sdf, weight=w, color=col)
+    slots = (gids[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]).reshape(-1)
+    return integrate_slots(
+        bm, slots, row_valid.reshape(-1), depth, color, T_wc, intr, cfg
+    )
 
 
 def sample_trilinear(
@@ -838,6 +917,204 @@ def raycast_splat(
     origin_w = T_wc[:3, 3]
     dirs_z = (rays_c.reshape(-1, 3) @ R.T).reshape(rays_c.shape)
     p_hit = origin_w + imgs.depth[..., None] * dirs_z  # z-depth x unit-z dir
+    dirs_unit = dirs_z / jnp.maximum(
+        jnp.linalg.norm(dirs_z, axis=-1, keepdims=True), 1e-12
+    )
+    normal_w, nvalid = _image_space_normals(p_hit, imgs.valid, dirs_unit)
+    valid = imgs.valid & nvalid
+    zero3 = jnp.zeros_like(p_hit)
+    return RaycastMaps(
+        vertex_w=jnp.where(valid[..., None], p_hit, zero3),
+        normal_w=jnp.where(valid[..., None], normal_w, zero3),
+        depth=jnp.where(valid, imgs.depth, 0.0),
+        color=jnp.where(valid[..., None], imgs.color, 0.0),
+        valid=valid,
+    )
+
+
+def partition_window(
+    bm: BlockMap,
+    cfg: TsdfConfig,
+    center_w: jnp.ndarray,  # (3,) world-space active-window center (camera)
+    radius: float,
+    evict_cap: int,
+    votes=None,
+):
+    """Split live blocks into an active window (kept) and cold rows (evicted).
+
+    The streaming half of the "map is the long axis" design (SURVEY.md §6
+    long-context): blocks whose center is farther than `radius` from the
+    camera are compacted into a bounded eviction buffer the host pulls to
+    DRAM (engine/streaming.py); the surviving rows are stable-partition
+    compacted exactly like `clean`, so capacity is reclaimed.  At most
+    `evict_cap` blocks move per call — the rest stay live and are picked
+    up by the next streaming tick (bounded device->host transfer per
+    call, never a full-table pull).
+
+    Returns (bm_new, votes_new, evicted) with evicted a dict of
+    coords i32[E,3], sdf/weight/color payload rows, valid bool[E], and
+    (when votes is given) label/count rows.
+    """
+    c = bm.sdf.shape[0]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    allocated = (slot_ids < bm.n_active) & (bm.block_coords[:, 0] >= 0)
+    bsz = cfg.block_size * cfg.voxel_size
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    centers = origin + (bm.block_coords.astype(jnp.float32) + 0.5) * bsz
+    dist = jnp.linalg.norm(centers - center_w[None, :], axis=-1)
+    cold = allocated & (dist > radius)
+
+    vals, eidx = jax.lax.top_k(cold.astype(jnp.int32), evict_cap)
+    evalid = vals > 0
+    eidx_c = jnp.where(evalid, eidx, 0)
+    evicted = {
+        "coords": jnp.where(evalid[:, None], bm.block_coords[eidx_c], -1),
+        "sdf": bm.sdf[eidx_c],
+        "weight": jnp.where(evalid[:, None], bm.weight[eidx_c], 0.0),
+        "valid": evalid,
+    }
+    if bm.color.size:
+        evicted["color"] = bm.color[eidx_c]
+    if votes is not None:
+        evicted["label"] = votes.label[eidx_c]
+        evicted["count"] = votes.count[eidx_c]
+
+    evict_sel = jnp.zeros((c,), bool).at[jnp.where(evalid, eidx, c)].set(
+        True, mode="drop"
+    )
+    live = allocated & jnp.logical_not(evict_sel)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    perm = jnp.argsort(jnp.logical_not(live), stable=True)
+    order = jnp.cumsum(live.astype(jnp.int32)) - 1
+
+    def take(arr, fill):
+        out = arr[perm]
+        keep = jax.lax.broadcasted_iota(jnp.int32, (out.shape[0], 1), 0)[:, 0] < n_live
+        shape = (out.shape[0],) + (1,) * (out.ndim - 1)
+        return jnp.where(keep.reshape(shape), out, fill)
+
+    dir_flat = bm.directory.reshape(-1)
+    has = dir_flat >= 0
+    src = jnp.clip(dir_flat, 0, c - 1)
+    dir_new = jnp.where(has & live[src], order[src], -1).astype(jnp.int32)
+
+    bm_new = BlockMap(
+        directory=dir_new.reshape(bm.directory.shape),
+        block_coords=take(bm.block_coords, -1),
+        n_active=n_live,
+        overflow=bm.overflow,
+        sdf=take(bm.sdf, UNOBSERVED),
+        weight=take(bm.weight, 0.0),
+        color=take(bm.color, 0.0) if bm.color.size else bm.color,
+    )
+    votes_new = None
+    if votes is not None:
+        votes_new = type(votes)(
+            label=take(votes.label, -1),
+            count=take(votes.count, 0.0),
+        )
+    return bm_new, votes_new, evicted
+
+
+def admit_rows(
+    bm: BlockMap,
+    cfg: TsdfConfig,
+    coords: jnp.ndarray,  # i32[E,3] block coords to re-insert
+    sdf: jnp.ndarray,  # f32[E,B^3]
+    weight: jnp.ndarray,
+    color: jnp.ndarray | None,
+    valid: jnp.ndarray,  # bool[E]
+    votes=None,
+    label: jnp.ndarray | None = None,
+    count: jnp.ndarray | None = None,
+):
+    """Re-insert streamed-out payload rows (prefix-sum slot assignment).
+
+    The admission half of block streaming: rows come back from host DRAM
+    exactly as evicted.  Blocks already allocated on device are skipped
+    (the live copy wins — it has integrated frames the stored copy
+    predates... which cannot happen under the streamer's invariant that a
+    stored block is removed from the device, but guard anyway); blocks
+    beyond capacity are dropped and counted in overflow.
+
+    Returns (bm_new, votes_new, admitted_mask bool[E]).
+    """
+    nb = num_blocks_per_axis(cfg)
+    c = bm.sdf.shape[0]
+    inb = valid & jnp.all((coords >= 0) & (coords < nb), axis=-1)
+    flat = (coords[:, 0] * nb + coords[:, 1]) * nb + coords[:, 2]
+    flat_c = jnp.where(inb, flat, 0)
+    already = bm.directory.reshape(-1)[flat_c] >= 0
+    need = inb & jnp.logical_not(already)
+    order = jnp.cumsum(need.astype(jnp.int32)) - 1
+    new_slot = bm.n_active + order
+    fits = need & (new_slot < c - RESERVED_SLOTS)
+    n_new = jnp.sum(fits.astype(jnp.int32))
+    n_drop = jnp.sum(need.astype(jnp.int32)) - n_new
+
+    dir_ids = jnp.where(fits, flat, nb * nb * nb)
+    dir_new = bm.directory.reshape(-1).at[dir_ids].set(new_slot, mode="drop")
+    out = jnp.where(fits, new_slot, c)
+    bm_new = bm._replace(
+        directory=dir_new.reshape(bm.directory.shape),
+        block_coords=bm.block_coords.at[out].set(coords, mode="drop"),
+        n_active=bm.n_active + n_new,
+        overflow=bm.overflow + n_drop,
+        sdf=bm.sdf.at[out].set(sdf, mode="drop"),
+        weight=bm.weight.at[out].set(weight, mode="drop"),
+    )
+    if color is not None and bm.color.size:
+        bm_new = bm_new._replace(color=bm.color.at[out].set(color, mode="drop"))
+    votes_new = votes
+    if votes is not None and label is not None:
+        votes_new = type(votes)(
+            label=votes.label.at[out].set(label, mode="drop"),
+            count=votes.count.at[out].set(count, mode="drop"),
+        )
+    return bm_new, votes_new, fits
+
+
+def raycast_splat_groups(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    tsdf_cfg: TsdfConfig,
+    gids: jnp.ndarray,
+    row_valid: jnp.ndarray,
+    with_color: bool = True,
+    interpret: bool = False,
+    depth_prior: jnp.ndarray | None = None,
+    rmax: int = 8,
+):
+    """`raycast_splat` addressed by payload row groups (zero row gathers).
+
+    TPU fast path paired with `integrate_groups`; the CPU/golden fallback
+    flattens to a slot list and reuses the scatter-add golden.
+    """
+    from instancefusion_tpu.ops.raycast import RaycastMaps
+
+    if interpret:
+        slots = (
+            gids[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        return raycast_splat(
+            bm, T_wc, intr, tsdf_cfg, slots, row_valid.reshape(-1),
+            with_color=with_color, interpret=True,
+            depth_prior=depth_prior, rmax=rmax,
+        )
+    from instancefusion_tpu.ops.pallas.raycast import splat_depth_groups
+
+    imgs = splat_depth_groups(
+        gids, row_valid, bm.block_coords, bm.sdf, bm.weight, bm.color,
+        T_wc, intr, tsdf_cfg,
+        with_color=with_color and bool(bm.color.size),
+        depth_prior=depth_prior, rmax=rmax,
+    )
+    rays_c = ray_directions(intr)  # unit-z
+    R = T_wc[:3, :3]
+    origin_w = T_wc[:3, 3]
+    dirs_z = (rays_c.reshape(-1, 3) @ R.T).reshape(rays_c.shape)
+    p_hit = origin_w + imgs.depth[..., None] * dirs_z
     dirs_unit = dirs_z / jnp.maximum(
         jnp.linalg.norm(dirs_z, axis=-1, keepdims=True), 1e-12
     )

@@ -125,19 +125,29 @@ def reduce_equations(
     )
     m = mask.astype(jnp.float32)
     if cfg.use_pallas:
-        # Fused residual/jacobian/29-term reduction in one HBM pass
-        # (ops/pallas/icp.py); identical for binary masks (m^2 = m).
+        # Fused residual/jacobian/weighting/29-term reduction in one HBM
+        # pass (ops/pallas/icp.py); Huber weights computed in-kernel.
         from instancefusion_tpu.ops.pallas.icp import reduce_normal_equations
 
-        return reduce_normal_equations(p_w, n_t, q_w, m, interpret=jax.default_backend() != "tpu")
+        return reduce_normal_equations(
+            p_w, n_t, q_w, m, huber_delta=cfg.huber_delta,
+            interpret=jax.default_backend() != "tpu",
+        )
     r = jnp.sum(n_t * diff, axis=-1)  # point-to-plane residual
     J = jnp.concatenate([n_t, jnp.cross(p_w, n_t)], axis=-1)  # (HW, 6)
-    Jm = J * m[:, None]
+    # IRLS: H = sum w J Jt, b = -sum w J r (w = gate x Huber weight).
+    if cfg.huber_delta > 0.0:
+        w = m * jnp.minimum(
+            1.0, cfg.huber_delta / jnp.maximum(jnp.abs(r), 1e-9)
+        )
+    else:
+        w = m
+    Jm = J * jnp.sqrt(w)[:, None]
     # The "27-float reduction": one small matmul on the MXU.
     H6 = jnp.matmul(Jm.T, Jm, precision=_PREC)
-    b6 = -jnp.matmul(Jm.T, (r * m)[:, None], precision=_PREC)[:, 0]
+    b6 = -jnp.matmul(J.T, (r * w)[:, None], precision=_PREC)[:, 0]
     inliers = jnp.sum(m)
-    res_sum = jnp.sum(jnp.abs(r) * m)
+    res_sum = jnp.sum(jnp.abs(r) * w)
     return H6, b6, inliers, res_sum
 
 

@@ -40,20 +40,28 @@ _LANES = 128
 _TILE_ROWS = 64  # 64 x 128 = 8192 pixels per grid step
 
 
-def _kernel(px, py, pz, nx, ny, nz, qx, qy, qz, m, out_ref, acc_ref):
+def _kernel(px, py, pz, nx, ny, nz, qx, qy, qz, m, out_ref, acc_ref,
+            *, huber_delta: float = 0.0):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = m[:]
+    gate = m[:]
     pxv, pyv, pzv = px[:], py[:], pz[:]
     nxv, nyv, nzv = nx[:], ny[:], nz[:]
     dx = pxv - qx[:]
     dy = pyv - qy[:]
     dz = pzv - qz[:]
     r = nxv * dx + nyv * dy + nzv * dz
+    # IRLS Huber weight (static delta; 0 compiles the branch away).
+    if huber_delta > 0.0:
+        w = gate * jnp.minimum(
+            1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-9)
+        )
+    else:
+        w = gate
     # J = [n, p x n]
     j3 = pyv * nzv - pzv * nyv
     j4 = pzv * nxv - pxv * nzv
@@ -66,7 +74,7 @@ def _kernel(px, py, pz, nx, ny, nz, qx, qy, qz, m, out_ref, acc_ref):
             vals.append(jnp.sum(j[a] * j[b] * w))
     for a in range(6):
         vals.append(jnp.sum(j[a] * (-r) * w))
-    vals.append(jnp.sum(w))
+    vals.append(jnp.sum(gate))
     vals.append(jnp.sum(jnp.abs(r) * w))
     vals += [jnp.zeros(())] * (32 - len(vals))
     acc_ref[0, :] = acc_ref[0, :] + jnp.stack(vals)
@@ -202,12 +210,13 @@ def _pad_plane(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.pad(x, (0, pad)).reshape(rows, _LANES)
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(4, 5))
 def reduce_normal_equations(
     p_w: jnp.ndarray,  # (N,3) transformed source points (world)
     n_t: jnp.ndarray,  # (N,3) associated target normals
     q_w: jnp.ndarray,  # (N,3) associated target vertices
-    mask: jnp.ndarray,  # (N,) f32 weights (0 = rejected)
+    mask: jnp.ndarray,  # (N,) f32 gate (0 = rejected)
+    huber_delta: float = 0.0,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused (H6, b6, inliers, res_sum) from associated correspondences."""
@@ -228,7 +237,7 @@ def reduce_normal_equations(
         (_TILE_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, huber_delta=huber_delta),
         grid=(grid,),
         in_specs=[spec] * 10,
         out_specs=pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -301,6 +301,102 @@ def block_windows(
     return safe_slots, meta_i, meta_f, cam
 
 
+def _splat_groups_kernel(gids_ref, *rest, **kw):
+    # Same body as the slot-list splat kernel; gids_ref only drives the
+    # payload BlockSpec index maps.
+    del gids_ref
+    _splat_kernel(*rest, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "tsdf_cfg", "with_color", "interpret", "rmax"),
+)
+def splat_depth_groups(
+    gids: jnp.ndarray,  # i32[KG] payload row groups to render
+    row_valid: jnp.ndarray,  # bool[KG, 8]
+    block_coords: jnp.ndarray,
+    sdf: jnp.ndarray,
+    weight: jnp.ndarray,
+    color: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    tsdf_cfg: TsdfConfig,
+    with_color: bool = True,
+    interpret: bool = False,
+    depth_prior: jnp.ndarray | None = None,
+    rmax: int = 8,
+) -> SplatImages:
+    """`splat_depth` addressed by payload row groups — zero row gathers.
+
+    The slot-list variant gathers K payload rows (5 planes) before the
+    kernel; those XLA gathers cost ~1 ms per plane per frame on this
+    hardware.  Here the kernel streams each (8, 512) group straight from
+    the payload planes via data-dependent BlockSpec index maps (group id
+    from scalar prefetch).  Pad entries target the reserved last group
+    (blocks.RESERVED_SLOTS): its rows are never allocated, and sdf
+    sentinel/weight-0 votes self-mask to zero.
+    """
+    h, w = intr.height, intr.width
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    th = min(128, hp)
+    tw = min(256, wp)
+    b = tsdf_cfg.block_size
+    assert b == 8, "splat kernel assumes 8^3 blocks"
+    kg = gids.shape[0]
+
+    slots = (gids[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]).reshape(-1)
+    _, meta_i, meta_f, cam = block_windows(
+        slots, row_valid.reshape(-1), block_coords, T_wc, intr, tsdf_cfg,
+        th=th, tw=tw, hp=hp, wp=wp, rmax=rmax,
+    )
+
+    if color.size == 0 or not with_color:
+        color_planes = [jnp.zeros_like(sdf)] * 3
+        with_color = False
+    else:
+        color_planes = [color[:, :, 0], color[:, :, 1], color[:, :, 2]]
+
+    grp_spec = pl.BlockSpec((8, 512), lambda i, g, mi, mf, c: (g[i], 0))
+    img_spec = pl.BlockSpec((hp, wp), lambda i, g, mi, mf, c: (0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(kg,),
+        in_specs=[grp_spec] * 5,
+        out_specs=[img_spec] * 6,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_splat_groups_kernel, th=th, tw=tw, with_color=with_color),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 6,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(gids, meta_i.reshape(-1), meta_f.reshape(-1), cam.reshape(-1),
+       sdf, weight, *color_planes)
+    num, dens, denr, outr, outg, outb = (o[:h, :w] for o in outs)
+
+    valid = (denr > _DEN_TAU) & (dens > 1e-30)
+    dsafe = jnp.maximum(dens, 1e-30)
+    depth = jnp.where(valid, num / dsafe, 0.0)
+    valid = valid & (depth > 0.05)
+    if depth_prior is not None:
+        band = 1.5 * tsdf_cfg.trunc
+        valid = valid & (depth_prior > 0.0) & (
+            jnp.abs(depth - depth_prior) <= band
+        )
+    depth = jnp.where(valid, depth, 0.0)
+    if with_color:
+        col = jnp.stack([outr / dsafe, outg / dsafe, outb / dsafe], axis=-1)
+        col = jnp.where(valid[..., None], col, 0.0)
+    else:
+        col = jnp.zeros((h, w, 3), jnp.float32)
+    return SplatImages(depth=depth, valid=valid, color=col)
+
+
 def _vote_terms(
     coords, sdf, weight, color, slot_valid, T_cw, intr, tsdf_cfg, with_color
 ):

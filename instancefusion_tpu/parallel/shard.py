@@ -384,6 +384,315 @@ def raycast(
     return fn(bm.directory, bm.block_coords, bm.sdf, bm.weight, bm.color, T_wc)
 
 
+def allocate_votes(cfg: TsdfConfig, num_shards: int):
+    """Per-voxel instance-vote planes, sharded like the block payloads."""
+    from instancefusion_tpu.ops import labels
+
+    cl = cfg.table_capacity // num_shards
+    c = cl * num_shards
+    b3 = cfg.block_size**3
+    return labels.LabelVotes(
+        label=jnp.full((c, b3), -1, jnp.int32),
+        count=jnp.zeros((c, b3), jnp.float32),
+    )
+
+
+def _fuse_labels_shard(
+    directory, coords_l, lab_l, cnt_l, gid_image, depth, T_wc,
+    *, intr: Intrinsics, cfg: TsdfConfig, num_shards: int, max_touched: int,
+):
+    """Per-shard Boyer-Moore label voting into my touched rows (zero comm).
+
+    The distributed half of the BASELINE mandate "instance masks ... fused
+    probabilistically into the sharded volume": the frame's instance-id
+    image is replicated (it is one camera's view), each shard votes into
+    the band voxels of the touched blocks *it owns* — the same
+    zero-communication ownership split as `_integrate_shard`.
+    """
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    nb = blk.num_blocks_per_axis(cfg)
+    cl = lab_l.shape[0]
+
+    touched = blk.touched_blocks_mask(depth, T_wc, intr, cfg)
+    dir_flat = directory.reshape(-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
+    mine = _slab_of(idx // (nb * nb), nb, num_shards) == sid
+    touched_mine = touched & mine & (dir_flat >= 0)
+    k = min(max_touched, nb * nb * nb)
+    vals, tidx = jax.lax.top_k(touched_mine.astype(jnp.int32), k)
+    gslots = dir_flat[tidx]
+    lslots = gslots - sid * cl
+    valid = (vals > 0) & (lslots >= 0) & (lslots < cl)
+    lslots = jnp.where(valid, lslots, 0)
+
+    from instancefusion_tpu.geometry.camera import project
+    from instancefusion_tpu.geometry.se3 import se3_inverse, transform_points
+
+    bcoords = coords_l[lslots]
+    local = blk._local_offsets(cfg)
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    vox = bcoords[:, None, :] * cfg.block_size + local[None, :, :]
+    p_w = origin + (vox.astype(jnp.float32) + 0.5) * cfg.voxel_size
+    p_c = transform_points(se3_inverse(T_wc), p_w.reshape(-1, 3)).reshape(p_w.shape)
+    u, v, z = project(intr, p_c)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
+    uic = jnp.clip(ui, 0, intr.width - 1)
+    vic = jnp.clip(vi, 0, intr.height - 1)
+    d = depth[vic, uic]
+    gid = gid_image[vic, uic]
+    obs = (
+        in_img & (z > 0.0) & (d > 0.0) & (jnp.abs(d - z) < cfg.trunc)
+        & (gid >= 0) & valid[:, None]
+    )
+    lab = lab_l[lslots]
+    cnt = cnt_l[lslots]
+    adopt = obs & (cnt <= 0.0)
+    same = obs & (lab == gid) & ~adopt
+    other = obs & ~adopt & ~same
+    lab_new = jnp.where(adopt, gid, lab)
+    cnt_new = jnp.where(
+        adopt, 1.0, jnp.where(same, cnt + 1.0, jnp.where(other, cnt - 1.0, cnt))
+    )
+    out = jnp.where(valid, lslots, cl)
+    return (
+        lab_l.at[out].set(lab_new, mode="drop"),
+        cnt_l.at[out].set(cnt_new, mode="drop"),
+    )
+
+
+def fuse_labels(
+    votes,
+    bm: ShardedBlockMap,
+    gid_image: jnp.ndarray,
+    depth: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    mesh: Mesh,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    max_touched: int = 8192,
+):
+    """Distributed per-voxel label voting (ops/labels.fuse on shards)."""
+    from instancefusion_tpu.ops import labels
+
+    num_shards = mesh.shape[SHARD_AXIS]
+    fn = shard_map(
+        functools.partial(
+            _fuse_labels_shard, intr=intr, cfg=cfg, num_shards=num_shards,
+            max_touched=max_touched,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P(),
+        ),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False,
+    )
+    lab, cnt = fn(
+        bm.directory, bm.block_coords, votes.label, votes.count,
+        gid_image, depth, T_wc,
+    )
+    return labels.LabelVotes(label=lab, count=cnt)
+
+
+def sample_labels(
+    votes,
+    bm: ShardedBlockMap,
+    p_w: jnp.ndarray,  # (H,W,3) world points (raycast hits)
+    valid_in: jnp.ndarray,  # (H,W) bool
+    mesh: Mesh,
+    cfg: TsdfConfig,
+) -> jnp.ndarray:
+    """Predicted instance-id image from sharded votes: pmax composite.
+
+    Each shard looks up labels only for pixels whose containing block it
+    owns (others read -1); since ownership is exclusive, a single `pmax`
+    composites the full id image on every shard — the collective analog
+    of the reference's instance-index render pass.
+    """
+    num_shards = mesh.shape[SHARD_AXIS]
+
+    def body(directory, lab_l, cnt_l, p_w, valid_in):
+        sid = jax.lax.axis_index(SHARD_AXIS)
+        nb = blk.num_blocks_per_axis(cfg)
+        b = cfg.block_size
+        b3 = b * b * b
+        cl = lab_l.shape[0]
+        n = cfg.grid_size
+        g = jnp.round(
+            (p_w - jnp.asarray(cfg.origin, p_w.dtype)) / cfg.voxel_size - 0.5
+        ).astype(jnp.int32)
+        inb = jnp.all((g >= 0) & (g < n), axis=-1) & valid_in
+        gc = jnp.clip(g, 0, n - 1)
+        blkc = gc // b
+        loc = gc - blkc * b
+        bflat = (blkc[..., 0] * nb + blkc[..., 1]) * nb + blkc[..., 2]
+        slot = directory.reshape(-1)[bflat]
+        lslot = slot - sid * cl
+        have = inb & (slot >= 0) & (lslot >= 0) & (lslot < cl)
+        lidx = jnp.clip(lslot, 0, cl - 1) * b3 + (
+            (loc[..., 0] * b + loc[..., 1]) * b + loc[..., 2]
+        )
+        lab = lab_l.reshape(-1)[lidx]
+        cnt = cnt_l.reshape(-1)[lidx]
+        mine = jnp.where(have & (cnt > 0.0), lab, -1)
+        return jax.lax.pmax(mine, SHARD_AXIS)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(bm.directory, votes.label, votes.count, p_w, valid_in)
+
+
+def _reshard_shard(
+    directory, coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l,
+    *, cfg: TsdfConfig, num_shards: int, migrate_cap: int,
+):
+    """Per-shard body: migrate misplaced rows to their slab owner.
+
+    Rows can land on the wrong shard after host-side map surgery — a
+    checkpoint written with a different shard count, a merged map, or
+    block re-anchoring after a pose-graph correction moves a block's
+    coordinate into another slab.  Each shard packs up to `migrate_cap`
+    rows per destination, one `all_to_all` swaps the buckets over ICI,
+    and receivers append the rows with the usual prefix-sum allocation.
+    The directory is rebuilt from scratch (scatter + pmax merge) so it
+    stays consistent with the new row placement.
+    """
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    nb = blk.num_blocks_per_axis(cfg)
+    cl = sdf_l.shape[0]
+    q = migrate_cap
+    n_active = n_active_l[0]
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cl, 1), 0)[:, 0]
+    allocated = (slot_ids < n_active) & (coords_l[:, 0] >= 0)
+    owner = _slab_of(coords_l[:, 0], nb, num_shards)
+    stay = allocated & (owner == sid)
+
+    # --- pack per-destination send buckets [S*q, ...]
+    send_coords, send_sdf, send_w, send_col, send_valid = [], [], [], [], []
+    sent = jnp.zeros((cl,), bool)
+    for d in range(num_shards):
+        mask = allocated & (owner == d) & (d != sid)
+        vals, idx = jax.lax.top_k(mask.astype(jnp.int32), q)
+        ok = vals > 0
+        idx_c = jnp.where(ok, idx, 0)
+        send_coords.append(jnp.where(ok[:, None], coords_l[idx_c], -1))
+        send_sdf.append(sdf_l[idx_c])
+        send_w.append(jnp.where(ok[:, None], w_l[idx_c], 0.0))
+        if col_l.shape[1]:
+            send_col.append(jnp.where(ok[:, None, None], col_l[idx_c], 0.0))
+        send_valid.append(ok)
+        sent = sent.at[jnp.where(ok, idx, cl)].set(True, mode="drop")
+
+    def a2a(parts):
+        x = jnp.concatenate(parts, axis=0)  # [S*q, ...]
+        return jax.lax.all_to_all(
+            x, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+
+    rc_coords = a2a(send_coords)
+    rc_sdf = a2a(send_sdf)
+    rc_w = a2a(send_w)
+    rc_valid = a2a([v for v in send_valid])
+    rc_col = a2a(send_col) if col_l.shape[1] else None
+
+    # Rows that could not be packed this round (beyond migrate_cap) stay
+    # put and are counted; call reshard again to drain them.
+    leftover = allocated & (owner != sid) & jnp.logical_not(sent)
+    n_left = jnp.sum(leftover.astype(jnp.int32))
+
+    # --- compact keepers (stable partition, as blocks.clean)
+    keep = stay | leftover
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    perm = jnp.argsort(jnp.logical_not(keep), stable=True)
+
+    def take(arr, fill):
+        out = arr[perm]
+        ki = jax.lax.broadcasted_iota(jnp.int32, (out.shape[0], 1), 0)[:, 0] < n_keep
+        shape = (out.shape[0],) + (1,) * (out.ndim - 1)
+        return jnp.where(ki.reshape(shape), out, fill)
+
+    coords_n = take(coords_l, -1)
+    sdf_n = take(sdf_l, blk.UNOBSERVED)
+    w_n = take(w_l, 0.0)
+    col_n = take(col_l, 0.0) if col_l.shape[1] else col_l
+
+    # --- append received rows (prefix-sum slots after the keepers)
+    order = jnp.cumsum(rc_valid.astype(jnp.int32)) - 1
+    slot = n_keep + order
+    fits = rc_valid & (slot < cl)
+    out = jnp.where(fits, slot, cl)
+    coords_n = coords_n.at[out].set(rc_coords, mode="drop")
+    sdf_n = sdf_n.at[out].set(rc_sdf, mode="drop")
+    w_n = w_n.at[out].set(rc_w, mode="drop")
+    if col_l.shape[1]:
+        col_n = col_n.at[out].set(rc_col, mode="drop")
+    n_new = jnp.sum(fits.astype(jnp.int32))
+    n_drop = jnp.sum(rc_valid.astype(jnp.int32)) - n_new
+    n_active_n = n_keep + n_new
+    overflow_n = overflow_l + n_drop
+
+    # --- rebuild the replicated directory: scatter my rows, pmax merge
+    live = jax.lax.broadcasted_iota(jnp.int32, (cl, 1), 0)[:, 0] < n_active_n
+    live = live & (coords_n[:, 0] >= 0)
+    flat = (coords_n[:, 0] * nb + coords_n[:, 1]) * nb + coords_n[:, 2]
+    gslot = sid * cl + jax.lax.broadcasted_iota(jnp.int32, (cl, 1), 0)[:, 0]
+    prop = jnp.full((nb * nb * nb,), -1, jnp.int32)
+    prop = prop.at[jnp.where(live, flat, nb * nb * nb)].set(gslot, mode="drop")
+    dir_new = jax.lax.pmax(prop, SHARD_AXIS)
+
+    return (
+        dir_new.reshape(directory.shape), coords_n,
+        n_active_l * 0 + n_active_n, overflow_n, sdf_n, w_n, col_n,
+        jnp.full((n_active_l.shape[0],), n_left, jnp.int32),
+    )
+
+
+def reshard(
+    bm: ShardedBlockMap,
+    mesh: Mesh,
+    cfg: TsdfConfig,
+    migrate_cap: int = 256,
+) -> tuple[ShardedBlockMap, jnp.ndarray]:
+    """Migrate every payload row to its slab owner (one all_to_all round).
+
+    Returns (bm_new, leftover i32[S]) where leftover counts rows still
+    misplaced because a shard had more than `migrate_cap` rows bound for
+    one destination — call again until `leftover.sum() == 0`.
+    """
+    num_shards = mesh.shape[SHARD_AXIS]
+    fn = shard_map(
+        functools.partial(
+            _reshard_shard, cfg=cfg, num_shards=num_shards,
+            migrate_cap=migrate_cap,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+        ),
+        out_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+        ),
+        check_vma=False,
+    )
+    directory, coords, n_active, overflow, sdf, w, col, leftover = fn(
+        bm.directory, bm.block_coords, bm.n_active, bm.overflow,
+        bm.sdf, bm.weight, bm.color,
+    )
+    return ShardedBlockMap(
+        directory=directory, block_coords=coords, n_active=n_active,
+        overflow=overflow, sdf=sdf, weight=w, color=col,
+    ), leftover
+
+
 # ---------------------------------------------------------------------------
 # Distributed BA reductions (the "collective Schur BA")
 # ---------------------------------------------------------------------------

@@ -110,14 +110,16 @@ def test_allocation_grows_and_is_idempotent():
 
 
 def test_capacity_overflow_is_counted_not_ub():
-    tiny = CFG.__class__(**{**CFG.__dict__, "table_capacity": 16})
+    tiny = CFG.__class__(**{**CFG.__dict__, "table_capacity": 24})
     f = _frame()
     bm = blocks.allocate(tiny)
     bm = blocks.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, tiny)
-    assert int(bm.n_active) == 16
+    # The last group of 8 slots is reserved (blocks.RESERVED_SLOTS — the
+    # Pallas group kernels' pad target), so usable capacity is 24 - 8.
+    assert int(bm.n_active) == 24 - blocks.RESERVED_SLOTS
     assert int(bm.overflow) > 0
-    # Directory must not point past capacity.
-    assert int(jnp.max(bm.directory)) < 16
+    # Directory must not point into the reserved tail.
+    assert int(jnp.max(bm.directory)) < 24 - blocks.RESERVED_SLOTS
 
 
 def test_trilinear_matches_dense():

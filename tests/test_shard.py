@@ -162,3 +162,164 @@ def test_fault_injection_shard_loss_degrades_gracefully(mesh):
         np.asarray(broken.depth)[both], np.asarray(healthy.depth)[both],
         atol=5e-3,
     )
+
+
+def test_reshard_migrates_rows_to_slab_owners(mesh):
+    """all_to_all re-sharding (SURVEY §6): a map whose rows all sit on
+    shard 0 — exactly what loading a single-process checkpoint onto an
+    S-shard mesh produces — migrates every row to its slab owner and then
+    behaves identically to a natively-sharded map."""
+    from instancefusion_tpu.geometry.camera import Intrinsics
+
+    tiny = Intrinsics(fx=64.6, fy=64.5, cx=39.5, cy=29.5, width=80, height=60)
+    f = synthetic.render_frame(synthetic.orbit_trajectory(2)[0], tiny)
+    single = blocks.integrate(
+        blocks.allocate(CFG), f.depth, f.color, f.T_wc, tiny, CFG
+    )
+    cl = CFG.table_capacity // NSHARDS
+    n0 = int(single.n_active)
+    assert 0 < n0 <= cl, n0
+
+    # Pack everything into shard 0's slot range (gslot == local slot there).
+    sh0 = shard.ShardedBlockMap(
+        directory=single.directory,
+        block_coords=single.block_coords[: CFG.table_capacity],
+        n_active=jnp.array([n0] + [0] * (NSHARDS - 1), jnp.int32),
+        overflow=jnp.zeros((NSHARDS,), jnp.int32),
+        sdf=single.sdf[: CFG.table_capacity],
+        weight=single.weight[: CFG.table_capacity],
+        color=single.color[: CFG.table_capacity],
+    )
+    bm, leftover = shard.reshard(sh0, mesh, CFG, migrate_cap=cl)
+    assert int(leftover.sum()) == 0
+    assert int(bm.n_active.sum()) == n0
+    assert int(bm.overflow.sum()) == 0
+
+    # Every live row now sits in its owner's slot range.
+    nb = CFG.grid_size // CFG.block_size
+    coords = np.asarray(bm.block_coords)
+    nact = np.asarray(bm.n_active)
+    for s in range(NSHARDS):
+        rows = coords[s * cl : s * cl + nact[s]]
+        owners = np.clip(rows[:, 0] // (nb // NSHARDS), 0, NSHARDS - 1)
+        assert (owners == s).all()
+
+    # Directory-addressed contents unchanged.
+    sdir = np.asarray(single.directory).reshape(-1)
+    hdir = np.asarray(bm.directory).reshape(-1)
+    sel = np.nonzero(sdir >= 0)[0]
+    np.testing.assert_array_equal(hdir >= 0, sdir >= 0)
+    np.testing.assert_allclose(
+        np.asarray(bm.sdf)[hdir[sel]], np.asarray(single.sdf)[sdir[sel]],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bm.weight)[hdir[sel]], np.asarray(single.weight)[sdir[sel]],
+        atol=1e-6,
+    )
+
+    # The resharded map raycasts like the single-device golden.
+    ms = blocks.raycast(single, f.T_wc, tiny, CFG, RC)
+    mh = shard.raycast(bm, f.T_wc, mesh, tiny, CFG, RC)
+    both = np.asarray(ms.valid) & np.asarray(mh.valid)
+    assert both.sum() / max(np.asarray(ms.valid).sum(), 1) > 0.97
+    np.testing.assert_allclose(
+        np.asarray(mh.depth)[both], np.asarray(ms.depth)[both], atol=2e-3
+    )
+
+    # Small migrate_cap drains over repeated rounds.
+    bm2, left = shard.reshard(sh0, mesh, CFG, migrate_cap=32)
+    rounds = 1
+    while int(left.sum()) > 0:
+        bm2, left = shard.reshard(bm2, mesh, CFG, migrate_cap=32)
+        rounds += 1
+        assert rounds < 32
+    assert int(bm2.n_active.sum()) == n0
+    np.testing.assert_array_equal(
+        np.asarray(bm2.directory) >= 0, np.asarray(single.directory) >= 0
+    )
+
+
+def test_sharded_label_voting_matches_single(mesh):
+    """Distributed label voting (BASELINE: masks fused into the *sharded*
+    volume): per-voxel votes on sharded rows match the single-device
+    ops/labels golden, and the pmax-composited predicted-id image matches
+    the single-device nearest-label sampling."""
+    from instancefusion_tpu.geometry.camera import Intrinsics
+    from instancefusion_tpu.ops import labels
+
+    tiny = Intrinsics(fx=64.6, fy=64.5, cx=39.5, cy=29.5, width=80, height=60)
+    f = synthetic.render_frame(synthetic.orbit_trajectory(2)[0], tiny)
+    single = blocks.integrate(
+        blocks.allocate(CFG), f.depth, f.color, f.T_wc, tiny, CFG
+    )
+    sh = shard.integrate(
+        shard.allocate(CFG, NSHARDS), f.depth, f.color, f.T_wc, mesh, tiny, CFG
+    )
+
+    # Two instance ids split left/right across the image.
+    half = jnp.arange(tiny.width)[None, :] < tiny.width // 2
+    gid = jnp.where(f.depth > 0, jnp.where(half, 3, 11), -1).astype(jnp.int32)
+
+    v0 = labels.fuse(
+        labels.allocate(CFG), single, gid, f.depth, f.T_wc, tiny, CFG
+    )
+    vh = shard.fuse_labels(
+        shard.allocate_votes(CFG, NSHARDS), sh, gid, f.depth, f.T_wc,
+        mesh, tiny, CFG,
+    )
+    n0 = int(jnp.sum((v0.count > 0) & (v0.label >= 0)))
+    assert n0 > 500
+
+    # Directory-addressed vote planes identical.
+    sdir = np.asarray(single.directory).reshape(-1)
+    hdir = np.asarray(sh.directory).reshape(-1)
+    sel = np.nonzero(sdir >= 0)[0]
+    np.testing.assert_array_equal(
+        np.asarray(vh.label)[hdir[sel]], np.asarray(v0.label)[sdir[sel]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(vh.count)[hdir[sel]], np.asarray(v0.count)[sdir[sel]],
+        atol=1e-6,
+    )
+
+    # Predicted-id image: sharded pmax composite vs single-device lookup.
+    maps = blocks.raycast(single, f.T_wc, tiny, CFG, RC)
+    g0 = labels.sample_nearest(v0, single, maps.vertex_w, maps.valid, CFG)
+    gh = shard.sample_labels(vh, sh, maps.vertex_w, maps.valid, mesh, CFG)
+    np.testing.assert_array_equal(np.asarray(gh), np.asarray(g0))
+
+
+def test_dp_and_tp_segmentation_match_single(mesh):
+    """DP (batch-sharded) and TP (channel-sharded params) segmentation
+    produce the single-device result (SURVEY §3.2)."""
+    import jax
+
+    from instancefusion_tpu.models import parallel as mpar, segmentation as seg
+
+    h, w, nc, k, width = 48, 64, 8, 8, 16
+    params = seg.init_params(jax.random.PRNGKey(0), h, w, nc, width=width)
+    rng = jax.random.PRNGKey(1)
+    rgb = jax.random.uniform(rng, (NSHARDS, h, w, 3))
+
+    single = [seg.segment(params, rgb[i], nc, k, width) for i in range(NSHARDS)]
+
+    dp = mpar.dp_segment_fn(mesh, nc, k, width)
+    out = dp(params, rgb)
+    for i in range(NSHARDS):
+        np.testing.assert_array_equal(
+            np.asarray(out.mask_id[i]), np.asarray(single[i].mask_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.classes[i]), np.asarray(single[i].classes)
+        )
+
+    shard_params, tp = mpar.tp_segment_fn(mesh, nc, k, width)
+    p_tp = shard_params(params)
+    got = tp(p_tp, rgb[0])
+    np.testing.assert_array_equal(
+        np.asarray(got.mask_id), np.asarray(single[0].mask_id)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(single[0].scores), atol=1e-4
+    )

@@ -1,0 +1,115 @@
+"""Active-window block streaming: evict to host DRAM, re-admit on revisit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instancefusion_tpu.datasets import synthetic
+from instancefusion_tpu.engine.streaming import BlockStreamer
+from instancefusion_tpu.ops import blocks, labels
+from tests.helpers import SMALL_CFG, SMALL_INTR, SMALL_TSDF
+
+
+def _fused_block_map(n=4):
+    poses = synthetic.orbit_trajectory(n)
+    bm = blocks.allocate(SMALL_TSDF)
+    for i in range(n):
+        f = synthetic.render_frame(poses[i], SMALL_INTR)
+        bm = blocks.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, SMALL_TSDF)
+    return bm, poses
+
+
+def test_evict_admit_roundtrip_bit_exact():
+    bm, poses = _fused_block_map()
+    n0 = int(bm.n_active)
+    assert n0 > 20
+    golden = jax.device_get((bm.sdf, bm.weight, bm.color, bm.block_coords))
+
+    # Window centered far away: everything is cold -> evicts (bounded cap).
+    streamer = BlockStreamer(SMALL_TSDF, radius=0.4, evict_cap=512, admit_cap=512)
+    far = np.array([50.0, 50.0, 50.0], np.float32)
+    vol, _, n_out = streamer.evict(bm, None, far)
+    assert n_out == n0
+    assert int(vol.n_active) == 0
+    assert len(streamer.store) == n0
+    # Directory fully cleared.
+    assert int(jnp.sum(vol.directory >= 0)) == 0
+
+    # Re-admit around the scene: every block comes back bit-exact.
+    streamer.radius = 1e9
+    vol, _, n_in = streamer.admit(vol, None, np.zeros(3, np.float32))
+    assert n_in == n0
+    assert len(streamer.store) == 0
+    assert int(vol.n_active) == n0
+
+    # Same payload content (row order may differ): compare per block coord.
+    def rows_by_coord(coords, sdf, w, col, n):
+        out = {}
+        for i in range(n):
+            out[tuple(np.asarray(coords[i]))] = (
+                np.asarray(sdf[i]), np.asarray(w[i]), np.asarray(col[i])
+            )
+        return out
+
+    a = rows_by_coord(golden[3], golden[0], golden[1], golden[2], n0)
+    got = jax.device_get((vol.sdf, vol.weight, vol.color, vol.block_coords))
+    b = rows_by_coord(got[3], got[0], got[1], got[2], int(vol.n_active))
+    assert set(a) == set(b)
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_partial_window_keeps_near_blocks_and_raycast():
+    bm, poses = _fused_block_map()
+    cam = np.asarray(poses[0])[:3, 3]
+    # Window that keeps some blocks and evicts others.
+    streamer = BlockStreamer(SMALL_TSDF, radius=1.2, evict_cap=4096)
+    pre = blocks.raycast(bm, poses[0], SMALL_INTR, SMALL_TSDF, SMALL_CFG.raycast)
+    vol, _, n_out = streamer.evict(bm, None, cam)
+    assert 0 < n_out < int(bm.n_active)
+
+    # Blocks within ~radius - block diagonal must be untouched: raycast hits
+    # nearer than that distance are identical.
+    post = blocks.raycast(vol, poses[0], SMALL_INTR, SMALL_TSDF, SMALL_CFG.raycast)
+    bsz = SMALL_TSDF.block_size * SMALL_TSDF.voxel_size
+    near = pre.valid & (pre.depth < (1.2 - 2 * bsz))
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(near, post.depth, 0.0)),
+        np.asarray(jnp.where(near, pre.depth, 0.0)),
+        atol=1e-5,
+    )
+    assert bool(jnp.all(post.valid >= (near & pre.valid)))
+
+    # Re-admit everything and confirm full raycast equality.
+    streamer.radius = 1e9
+    vol, _, n_in = streamer.admit(vol, None, cam)
+    assert n_in == n_out
+    back = blocks.raycast(vol, poses[0], SMALL_INTR, SMALL_TSDF, SMALL_CFG.raycast)
+    np.testing.assert_allclose(
+        np.asarray(back.depth), np.asarray(pre.depth), atol=1e-6
+    )
+
+
+def test_streaming_with_votes_roundtrip():
+    bm, poses = _fused_block_map(2)
+    votes = labels.allocate(SMALL_TSDF)
+    # Paint an instance id into band voxels of frame 0.
+    f = synthetic.render_frame(poses[0], SMALL_INTR)
+    gid = jnp.where(f.depth > 0, 7, -1).astype(jnp.int32)
+    votes = labels.fuse(votes, bm, gid, f.depth, poses[0], SMALL_INTR, SMALL_TSDF)
+    n_lab0 = int(jnp.sum((votes.count > 0) & (votes.label >= 0)))
+    assert n_lab0 > 100
+
+    streamer = BlockStreamer(
+        SMALL_TSDF, radius=0.1, evict_cap=4096, with_votes=True
+    )
+    far = np.array([99.0, 0.0, 0.0], np.float32)
+    vol, votes2, n_out = streamer.evict(bm, votes, far)
+    assert n_out == int(bm.n_active)
+    assert int(jnp.sum(votes2.count > 0)) == 0
+
+    streamer.radius = 1e9
+    vol, votes3, n_in = streamer.admit(vol, votes2, far)
+    assert n_in == n_out
+    assert int(jnp.sum((votes3.count > 0) & (votes3.label >= 0))) == n_lab0
