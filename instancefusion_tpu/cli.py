@@ -48,6 +48,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                         "stream to host DRAM)")
     p.add_argument("--clean-every", type=int, default=0,
                    help="map hygiene cadence (confidence culling, 0 = off)")
+    p.add_argument("--gt-odometry", action="store_true",
+                   help="bypass tracking: fuse at the dataset's ground-truth "
+                        "poses (isolates the mapping pipeline)")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -154,6 +157,7 @@ def cmd_run(args: argparse.Namespace) -> int:
             clean_every=args.clean_every,
             stream_every=args.stream_every,
             stream_radius=args.stream_radius,
+            gt_odometry=np.asarray(gt) if (args.gt_odometry and gt is not None) else None,
         )
     metrics.close()
 

@@ -62,6 +62,7 @@ def run(
     retire_every: int = 0,
     stream_every: int = 0,
     stream_radius: float = 4.0,
+    gt_odometry=None,
 ) -> PipelineResult:
     """Run the full pipeline over `frames` (iterable of dataset Frames).
 
@@ -159,7 +160,14 @@ def run(
 
         seg = segment_fn(frame) if segment_fn is not None else None
         with timer.phase("step"):
-            if seg is not None and cfg.use_instances:
+            if gt_odometry is not None:
+                # Tracking bypass (the reference's GroundTruthOdometry):
+                # fuse at the dataset pose, isolating the mapping pipeline.
+                state, info = slam.step_gt(
+                    cfg, state, frame.depth, frame.color,
+                    jnp.asarray(gt_odometry[i], jnp.float32),
+                )
+            elif seg is not None and cfg.use_instances:
                 state, info = slam.step_seg(cfg, state, frame.depth, frame.color, seg)
             else:
                 state, info = slam.step(cfg, state, frame.depth, frame.color)

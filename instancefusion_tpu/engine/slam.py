@@ -253,6 +253,91 @@ def step(
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def step_gt(
+    cfg: EngineConfig,
+    state: SlamState,
+    depth: jnp.ndarray,
+    color: jnp.ndarray,
+    T_gt_wc: jnp.ndarray,
+) -> tuple[SlamState, StepInfo]:
+    """Fuse -> predict with an externally supplied pose (tracking bypass).
+
+    The reference's `GroundTruthOdometry` mode (SURVEY.md §5): feed the
+    dataset's ground-truth trajectory instead of running ICP, isolating
+    the fusion/raycast pipeline for reconstruction-quality evaluation.
+    Identical map-update path to `step`; ICP is skipped entirely.
+    """
+    intr = cfg.intrinsics
+    pyr = preprocess.build_frame_pyramid(depth, intr, cfg.preprocess, 1)
+    T_new = T_gt_wc
+    d0 = pyr[0]["depth"]
+    fused = tsdf_integrate_count(d0)
+    ops = _map_ops(cfg)
+    frame_color = color if cfg.use_color else None
+    if cfg.map_kind == "blocks" and cfg.raycast.use_splat:
+        prior = jnp.where(d0 > 0.0, d0, state.pred.depth)
+        volume = blocks.discover_allocate(state.volume, d0, T_new, intr, cfg.tsdf)
+        if cfg.tsdf.use_pallas and jax.default_backend() == "tpu":
+            kg = min(cfg.tsdf.group_capacity, cfg.tsdf.table_capacity // 8)
+            gids, row_valid = blocks.frustum_groups(
+                volume, T_new, intr, cfg.tsdf,
+                cfg.raycast.near, cfg.raycast.far, kg,
+            )
+            volume = blocks.integrate_groups(
+                volume, gids, row_valid, d0, frame_color, T_new, intr, cfg.tsdf
+            )
+            pred = blocks.raycast_splat_groups(
+                volume, T_new, intr, cfg.tsdf, gids, row_valid,
+                with_color=cfg.use_color, depth_prior=prior,
+                rmax=cfg.raycast.splat_rmax,
+            )
+        else:
+            k = min(cfg.tsdf.touched_capacity,
+                    blocks.num_blocks_per_axis(cfg.tsdf) ** 3)
+            slots, slot_valid = blocks.frustum_slots(
+                volume, T_new, intr, cfg.tsdf,
+                cfg.raycast.near, cfg.raycast.far, k,
+            )
+            volume = blocks.integrate_slots(
+                volume, slots, slot_valid, d0, frame_color, T_new, intr, cfg.tsdf
+            )
+            pred = blocks.raycast_splat(
+                volume, T_new, intr, cfg.tsdf, slots, slot_valid,
+                with_color=cfg.use_color,
+                interpret=jax.default_backend() != "tpu",
+                depth_prior=prior, rmax=cfg.raycast.splat_rmax,
+            )
+    else:
+        volume = ops.integrate(
+            state.volume, d0, frame_color, T_new, intr, cfg.tsdf
+        )
+        rc_kwargs = {}
+        if cfg.map_kind == "blocks":
+            if cfg.raycast.use_depth_prior:
+                rc_kwargs["depth_prior"] = jnp.where(
+                    d0 > 0.0, d0, state.pred.depth
+                )
+            rc_kwargs["screen_space_normals"] = cfg.raycast.screen_space_normals
+        pred = ops.raycast(
+            volume, T_new, intr, cfg.tsdf, cfg.raycast,
+            with_color=cfg.use_color, **rc_kwargs,
+        )
+    new_state = state._replace(
+        T_wc=T_new, volume=volume, pred=pred, pred_T_wc=T_new,
+        frame_idx=state.frame_idx + 1,
+        lost_frames=jnp.zeros((), jnp.int32),
+        T_prev_wc=state.T_wc,
+    )
+    info = StepInfo(
+        inliers=jnp.zeros(()),
+        residual=jnp.zeros(()),
+        track_ok=jnp.ones((), bool),
+        fused_voxels=fused,
+    )
+    return new_state, info
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def step_seg(
     cfg: EngineConfig,
     state: SlamState,

@@ -79,3 +79,24 @@ def test_checkpoint_config_mismatch_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="config mismatch"):
         ckpt.restore(cdir, ex, other)
+
+
+def test_gt_odometry_bypasses_tracking():
+    """The reference's GroundTruthOdometry mode: poses come from the
+    dataset, tracking is skipped, fusion runs at the exact GT trajectory."""
+    import numpy as np
+
+    from instancefusion_tpu.datasets import synthetic
+    from instancefusion_tpu.engine import pipeline
+    from tests.helpers import SMALL_CFG, SMALL_INTR
+
+    n = 5
+    poses = synthetic.orbit_trajectory(n)
+    frames = [synthetic.render_frame(poses[i], SMALL_INTR) for i in range(n)]
+    res = pipeline.run(
+        SMALL_CFG, frames, T_init_wc=poses[0], enable_loops=False,
+        gt_odometry=np.asarray(poses),
+    )
+    np.testing.assert_allclose(res.poses, np.asarray(poses), atol=1e-6)
+    # The map was actually fused: prediction from the last pose is dense.
+    assert int(res.state.pred.valid.sum()) > 1000
