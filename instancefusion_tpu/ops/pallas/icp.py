@@ -108,10 +108,28 @@ def _gather_kernel(
     )
     rw = pl.ds(pl.multiple_of(v0, 8), thw)
     cw = pl.ds(pl.multiple_of(u0, 128), tww)
-    dv_win = jnp.concatenate([tvx[rw, cw], tvy[rw, cw], tvz[rw, cw]], axis=0)
-    do_win = jnp.concatenate(
-        [tnx[rw, cw], tny[rw, cw], tnz[rw, cw], tva[rw, cw]], axis=0
-    ).astype(jnp.bfloat16)
+    # ONE single-pass bf16 matmul per source row gathers all 10 planes:
+    # vertices ride as an exact hi/lo bf16 split (a one-hot contraction
+    # touches exactly one window pixel per output, so each partial product
+    # is exact and hi+lo reassembles f32 to ~2^-17 relative — micrometers
+    # at scene scale), normals/validity as plain bf16.  This replaces the
+    # previous per-row pair (3-plane f32 HIGHEST = 3 MXU passes + 4-plane
+    # bf16), which left the kernel latency-bound on many small matmuls.
+    vx_w, vy_w, vz_w = tvx[rw, cw], tvy[rw, cw], tvz[rw, cw]
+    vx_hi = vx_w.astype(jnp.bfloat16)
+    vy_hi = vy_w.astype(jnp.bfloat16)
+    vz_hi = vz_w.astype(jnp.bfloat16)
+    win = jnp.concatenate(
+        [
+            vx_hi.astype(jnp.float32), vy_hi.astype(jnp.float32),
+            vz_hi.astype(jnp.float32),
+            vx_w - vx_hi.astype(jnp.float32),
+            vy_w - vy_hi.astype(jnp.float32),
+            vz_w - vz_hi.astype(jnp.float32),
+            tnx[rw, cw], tny[rw, cw], tnz[rw, cw], tva[rw, cw],
+        ],
+        axis=0,
+    ).astype(jnp.bfloat16)  # (10*THW, TW)
 
     colpos = (
         jax.lax.broadcasted_iota(jnp.int32, (tww, _LANES), 0).astype(jnp.float32)
@@ -126,27 +144,20 @@ def _gather_kernel(
         u_row = u_t[r : r + 1, :]  # (1, 128)
         v_row = v_t[r : r + 1, :]
         du = colpos - u_row  # (TW, 128)
-        oh_u = ((du > -0.5) & (du <= 0.5)).astype(jnp.float32)
+        oh_u = ((du > -0.5) & (du <= 0.5)).astype(jnp.bfloat16)
         dvr = rowpos - v_row  # (THW, 128)
         oh_v = ((dvr > -0.5) & (dvr <= 0.5)).astype(jnp.float32)
-        # Vertex: exact f32 one-hot pass-through (HIGHEST).
-        m1v = jax.lax.dot_general(
-            dv_win, oh_u, (((1,), (0,)), ((), ())),
+        m1 = jax.lax.dot_general(
+            win, oh_u, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (3*THW, 128)
-        # Normals + validity: bf16 single pass.
-        m1o = jax.lax.dot_general(
-            do_win, oh_u.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (4*THW, 128)
+        )  # (10*THW, 128)
         for c in range(3):
-            outs[c][r, :] = jnp.sum(
-                oh_v * m1v[c * thw : (c + 1) * thw], axis=0
-            )
+            hi = jnp.sum(oh_v * m1[c * thw : (c + 1) * thw], axis=0)
+            lo = jnp.sum(oh_v * m1[(3 + c) * thw : (4 + c) * thw], axis=0)
+            outs[c][r, :] = hi + lo
         for c in range(4):
             outs[3 + c][r, :] = jnp.sum(
-                oh_v * m1o[c * thw : (c + 1) * thw], axis=0
+                oh_v * m1[(6 + c) * thw : (7 + c) * thw], axis=0
             )
 
 

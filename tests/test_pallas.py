@@ -250,5 +250,10 @@ def test_gather_target_maps_matches_flat_gather():
     # Kernel validity is conservative (window-dropped pixels invalid) but
     # with +/-3 px offsets everything fits: sets must match.
     np.testing.assert_array_equal(okn, ok_ref)
-    np.testing.assert_allclose(np.asarray(q)[okn], q_ref[okn], atol=1e-6)
+    # Vertices travel as an exact hi/lo bf16 split through the one-hot
+    # contraction: reassembly is within ~2^-17 relative (micrometers at
+    # scene scale), not bit-exact f32.
+    np.testing.assert_allclose(
+        np.asarray(q)[okn], q_ref[okn], rtol=1e-5, atol=2e-5
+    )
     np.testing.assert_allclose(np.asarray(n)[okn], n_ref[okn], atol=2e-2)
