@@ -157,19 +157,16 @@ def _splat_kernel(
             )
             tu = jnp.maximum(1.0 - jnp.abs(u - colpos) * inv_r, 0.0)  # (TW,512)
 
-            # The d_rel vote channel runs in f32 (it sets ICP target depth
-            # accuracy; bf16 vote rounding costs up to ~1 cm in the tails);
-            # Precision.HIGHEST forces true f32 (bf16x3 on the MXU) since
-            # Pallas' default lowers f32 dot inputs to single-pass bf16.
-            # The remaining channels are bf16: den rounding enters depth
-            # only via the d_rel ratio (<= ~1 mm); colors are 8-bit data.
-            out_d = jax.lax.dot_general(
-                tv * (wsm * d_rel),
-                tu,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (TH, TW)
+            # The d_rel vote channel sets ICP target depth accuracy
+            # (single-pass bf16 vote rounding would cost up to ~1 cm in
+            # the tails), so it rides as an exact hi/lo bf16 split in the
+            # SAME single-pass matmul as the bf16-sufficient channels
+            # (vote masses; colors are 8-bit data) — one MXU pass total
+            # instead of a 3-pass HIGHEST plus a second matmul.  hi/lo
+            # partials are each exact products x tent weights in f32
+            # accumulation; reassembly error is ~2^-17 relative (um).
+            dvote = tv * (wsm * d_rel)  # (TH, 512)
+            dv_hi = dvote.astype(jnp.bfloat16)
             vals = [wsm, w]
             if with_color:
                 vals += [
@@ -177,24 +174,32 @@ def _splat_kernel(
                     wsm * cg_ref[g : g + 1, :],
                     wsm * cb_ref[g : g + 1, :],
                 ]
-            lhs = jnp.concatenate([tv * val for val in vals], axis=0)
+            lhs = jnp.concatenate(
+                [
+                    dv_hi.astype(jnp.float32),
+                    dvote - dv_hi.astype(jnp.float32),
+                ]
+                + [tv * val for val in vals],
+                axis=0,
+            )
             out = jax.lax.dot_general(
                 lhs.astype(jnp.bfloat16),
                 tu.astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (C*TH, TW)
+            )  # ((C+2)*TH, TW)
+            out_d = out[0:th] + out[th : 2 * th]
 
             rw = pl.ds(pl.multiple_of(v0, 8), th)
             cw = pl.ds(pl.multiple_of(u0, 128), tw)
             # d = d_rel-votes + z_c * vote-mass, exact in f32.
-            num_ref[rw, cw] += out_d + z_c * out[0:th]
-            dens_ref[rw, cw] += out[0:th]
-            denr_ref[rw, cw] += out[th : 2 * th]
+            num_ref[rw, cw] += out_d + z_c * out[2 * th : 3 * th]
+            dens_ref[rw, cw] += out[2 * th : 3 * th]
+            denr_ref[rw, cw] += out[3 * th : 4 * th]
             if with_color:
-                outr_ref[rw, cw] += out[2 * th : 3 * th]
-                outg_ref[rw, cw] += out[3 * th : 4 * th]
-                outb_ref[rw, cw] += out[4 * th : 5 * th]
+                outr_ref[rw, cw] += out[4 * th : 5 * th]
+                outg_ref[rw, cw] += out[5 * th : 6 * th]
+                outb_ref[rw, cw] += out[6 * th : 7 * th]
 
 
 class SplatImages(NamedTuple):

@@ -183,24 +183,24 @@ def _integrate_kernel(
             rw = pl.ds(pl.multiple_of(v0, 8), th)
             cw = pl.ds(pl.multiple_of(u0, 128), tw)
             dwin = depth_ref[rw, cw]  # (TH, TW)
-            # Depth gather must be exact f32: Precision.HIGHEST forces
-            # bf16x3 passes on the MXU (Pallas' default truncates f32 dot
-            # inputs to single-pass bf16, quantizing depth by ~0.4%).
-            m1d = jax.lax.dot_general(
-                dwin, oh_u, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (TH, 512)
-            d_vox = jnp.sum(oh_v * m1d, axis=0, keepdims=True)  # (1, 512)
+            # Depth gather must stay effectively exact (single-pass bf16
+            # would quantize depth by ~0.4%): split into exact hi/lo bf16
+            # halves — a one-hot contraction touches one pixel per output,
+            # so each partial product is exact and hi+lo reassembles f32
+            # to ~2^-17 relative (micrometers).  One single-pass matmul
+            # carries both halves plus the color planes.
+            d_hi = dwin.astype(jnp.bfloat16)
+            rows = [d_hi.astype(jnp.float32), dwin - d_hi.astype(jnp.float32)]
             if with_color:
-                cwin = jnp.concatenate(
-                    [cri_ref[rw, cw], cgi_ref[rw, cw], cbi_ref[rw, cw]],
-                    axis=0,
-                )  # (3*TH, TW) — 8-bit data, bf16 single-pass is plenty
-                m1 = jax.lax.dot_general(
-                    cwin, oh_u, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (3*TH, 512)
+                rows += [cri_ref[rw, cw], cgi_ref[rw, cw], cbi_ref[rw, cw]]
+            win = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
+            m1 = jax.lax.dot_general(
+                win, oh_u.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # ((2 or 5)*TH, 512)
+            d_vox = jnp.sum(
+                oh_v * (m1[0:th] + m1[th : 2 * th]), axis=0, keepdims=True
+            )  # (1, 512)
 
             sdf_obs = d_vox - zc
             ok = in_img & (d_vox > 0.0) & (sdf_obs > -trunc)
@@ -220,7 +220,8 @@ def _integrate_kernel(
             if with_color:
                 c_vox = [
                     jnp.sum(
-                        oh_v * m1[c * th : (c + 1) * th], axis=0, keepdims=True
+                        oh_v * m1[(2 + c) * th : (3 + c) * th],
+                        axis=0, keepdims=True,
                     )
                     for c in range(3)
                 ]

@@ -206,12 +206,14 @@ def test_fused_integrate_matches_jnp():
     keep_rows[skipped] = False
     assert committed.sum() > 16  # the scene must exercise real updates
 
+    # Depth rides the one-hot contraction as an exact hi/lo bf16 split:
+    # gathered depth reassembles to ~2^-17 relative, i.e. tens of um —
+    # ~1e-4 in trunc-normalized SDF units at 5 m range.
     np.testing.assert_allclose(np.asarray(got_sdf)[keep_rows],
-                               np.asarray(ref.sdf)[keep_rows], atol=1e-5)
+                               np.asarray(ref.sdf)[keep_rows], atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_w)[keep_rows],
                                np.asarray(ref.weight)[keep_rows], atol=1e-5)
-    # Color association runs its one-hot contraction in bf16 (8-bit data);
-    # depth runs at Precision.HIGHEST and matches exactly.
+    # Color association runs its one-hot contraction in bf16 (8-bit data).
     np.testing.assert_allclose(np.asarray(got_c)[keep_rows],
                                np.asarray(ref.color)[keep_rows], atol=5e-3)
     # The kernel must actually have fused something this frame.
