@@ -73,11 +73,19 @@ def run(
     """
     state = slam.init_state(cfg, T_init_wc)
     backend = pg.allocate(cfg)
+    # Map anchor: world-from-map.  The engine tracks and fuses in the MAP
+    # frame; loop-closure corrections re-anchor the WHOLE map by updating
+    # this one transform — the voxels never move, the engine pose never
+    # jumps, and tracking stays self-consistent (the reference's
+    # deformation graph warps every surfel instead; a rigid anchor is the
+    # exact sparse-map analog for corrections dominated by accumulated
+    # rigid drift).  World pose of frame k = T_wm @ T_mc(k).
+    T_wm = jnp.eye(4, dtype=jnp.float32)
     start_frame = 0
     if resume and checkpoint_dir:
         try:
-            (state, backend), start_frame = ckpt.restore(
-                checkpoint_dir, (state, backend), cfg
+            (state, backend, T_wm), start_frame = ckpt.restore(
+                checkpoint_dir, (state, backend, T_wm), cfg
             )
         except FileNotFoundError:
             pass
@@ -127,7 +135,13 @@ def run(
                         cfg.intrinsics, cfg, T_cur_wc=T_cand,
                     )
                     if bool(ok):
-                        T_new = jnp.matmul(T_cand, T_rel, precision=_PREC)
+                        # Keyframe poses are world-frame; re-seat the
+                        # engine in the map frame.
+                        T_new = jnp.matmul(
+                            se3_inverse(T_wm),
+                            jnp.matmul(T_cand, T_rel, precision=_PREC),
+                            precision=_PREC,
+                        )
                         if streamer is not None:
                             # The re-seated view may cover streamed-out
                             # geometry — admit the window there first.
@@ -165,7 +179,11 @@ def run(
                 # fuse at the dataset pose, isolating the mapping pipeline.
                 state, info = slam.step_gt(
                     cfg, state, frame.depth, frame.color,
-                    jnp.asarray(gt_odometry[i], jnp.float32),
+                    jnp.matmul(
+                        se3_inverse(T_wm),
+                        jnp.asarray(gt_odometry[i], jnp.float32),
+                        precision=_PREC,
+                    ),
                 )
             elif seg is not None and cfg.use_instances:
                 state, info = slam.step_seg(cfg, state, frame.depth, frame.color, seg)
@@ -185,37 +203,29 @@ def run(
                 d = preprocess.clamp_depth(frame.depth, cfg.preprocess)
                 pyr = preprocess.build_frame_pyramid(d, cfg.intrinsics, cfg.preprocess, 1)
                 vmap, nmap = pyr[0]["vmap"], pyr[0]["nmap"]
+                T_world = jnp.matmul(T_wm, state.T_wc, precision=_PREC)
                 backend = pg.add_keyframe(
-                    backend, state.T_wc, frame.color, frame.depth, vmap, nmap
+                    backend, T_world, frame.color, frame.depth, vmap, nmap
                 )
                 cand, diss = pg.detect_loop(backend, frame.color, frame.depth)
                 if float(diss) < pgc.loop_dist_thresh:
                     T_rel, inliers, ok = pg.verify_loop(
                         backend, cand, vmap, nmap, cfg.intrinsics, cfg,
-                        T_cur_wc=state.T_wc,
+                        T_cur_wc=T_world,
                     )
                     if bool(ok):
                         kf_cur = backend.kf.count - 1
                         backend = pg.add_loop_edge(backend, cand, kf_cur, T_rel)
                         T_before = backend.kf.poses[kf_cur]
                         backend, cost = pg.optimize(backend, pgc)
-                        # Shift the live pose into the corrected frame.
+                        # Re-anchor the MAP: the engine state (map frame)
+                        # is untouched — no pose jump against the fused
+                        # geometry, no smear; only world-from-map moves.
                         corr = jnp.matmul(
                             backend.kf.poses[kf_cur], se3_inverse(T_before),
                             precision=_PREC,
                         )
-                        state = state._replace(
-                            T_wc=jnp.matmul(corr, state.T_wc, precision=_PREC),
-                            pred_T_wc=jnp.matmul(
-                                corr, state.pred_T_wc, precision=_PREC
-                            ),
-                            # Rotate the velocity reference into the
-                            # corrected frame too, else the next seed
-                            # extrapolates across the correction jump.
-                            T_prev_wc=jnp.matmul(
-                                corr, state.T_prev_wc, precision=_PREC
-                            ),
-                        )
+                        T_wm = jnp.matmul(corr, T_wm, precision=_PREC)
                         n_loops += 1
                         closed = True
 
@@ -248,7 +258,7 @@ def run(
                 )
                 state = state._replace(volume=volume, votes=votes)
 
-        est.append(np.asarray(state.T_wc))
+        est.append(np.asarray(jnp.matmul(T_wm, state.T_wc, precision=_PREC)))
         if metrics is not None:
             metrics.write(
                 {
@@ -267,8 +277,8 @@ def run(
             timer.times_ms.clear()
 
         if checkpoint_dir and (i + 1) % checkpoint_every == 0:
-            sync_fetch((state, backend))
-            ckpt.save(checkpoint_dir, (state, backend), cfg, i + 1)
+            sync_fetch((state, backend, T_wm))
+            ckpt.save(checkpoint_dir, (state, backend, T_wm), cfg, i + 1)
 
     sync_fetch(state.T_wc)
     elapsed = time.perf_counter() - t0

@@ -290,12 +290,40 @@ def track(
             T_new = jnp.matmul(se3_exp(xi), T, precision=_PREC)
             return T_new, nin, rsum, q_w, n_t, a_ok
 
+        # Whole-inner-loop fusion (TPU, geometric-only): the fixed-
+        # correspondence GN steps — linearization, 29-term reduction,
+        # damped 6x6 Cholesky, exp(xi) pose update — run inside ONE
+        # Pallas launch with the pose in SMEM (ops/pallas/icp.py
+        # gn_iterations), replacing ~20 small XLA ops per step.
+        use_fused_inner = (
+            cfg.use_pallas
+            and not use_rgb
+            and jax.default_backend() == "tpu"
+        )
+
         def outer_body(_, carry):
             T, nin, rsum = carry
             q_w, n_t, a_ok = associate(
                 src["vmap"], src["valid"], tv, tn, tval,
                 T, T_pred_cw, intr_l, cfg,
             )
+            if use_fused_inner:
+                from instancefusion_tpu.ops.pallas.icp import gn_iterations
+
+                gate = (
+                    src["valid"].reshape(-1) & a_ok
+                ).astype(jnp.float32)
+                T, nin, rsum = gn_iterations(
+                    src["vmap"].reshape(-1, 3), src["nmap"].reshape(-1, 3),
+                    q_w, n_t, gate, T,
+                    inner_n=inner_n,
+                    dist_thresh=cfg.dist_thresh,
+                    angle_thresh=cfg.angle_thresh,
+                    huber_delta=cfg.huber_delta,
+                    damping=cfg.damping,
+                    min_valid=cfg.min_valid,
+                )
+                return T, nin, rsum
             T, nin, rsum, _, _, _ = jax.lax.fori_loop(
                 0, inner_n,
                 inner_body,

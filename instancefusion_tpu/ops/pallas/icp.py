@@ -215,6 +215,268 @@ def gather_target_maps(
     return q_w, n_t, valid
 
 
+def _gn_kernel(
+    # tensor inputs, (R, 128) pixel planes
+    vx, vy, vz,  # source vertices, camera frame
+    nx, ny, nz,  # source normals, camera frame
+    qx, qy, qz,  # associated target vertices, world frame
+    tx, ty, tz,  # associated target normals, world frame
+    m_ref,  # pose-independent gate (src valid & assoc valid), f32
+    T_ref,  # (1, 128): rows 0..15 = T_init (row-major 4x4)
+    out_ref,  # (1, 128): rows 0..15 = T_out, 16 = inliers, 17 = res_sum
+    smem,  # SMEM scratch: [0:16] pose, [16:48] accumulator, [48] nin, [49] rsum
+    *,
+    inner_n: int,
+    dist_thresh: float,
+    angle_thresh: float,
+    huber_delta: float,
+    damping: float,
+    min_valid: int,
+):
+    """`inner_n` Gauss-Newton steps on fixed correspondences, one launch.
+
+    The reference's RGBDOdometry round-trips the reduced 6x6 system to
+    the CPU every iteration; the jnp path already kept the loop on-device
+    but still paid ~20 small XLA ops + a reduction kernel per step.  Here
+    the WHOLE inner loop lives in one kernel: grid = (iterations, pixel
+    tiles); the pose lives in SMEM scalars, each tile accumulates the
+    29-term normal-equation sums into SMEM, and the last tile of each
+    iteration solves the damped 6x6 system by an unrolled scalar Cholesky
+    and applies the exp(xi) update (Rodrigues, scalars) — zero
+    host<->device and zero XLA-op traffic between iterations.
+    """
+    it = pl.program_id(0)
+    tile = pl.program_id(1)
+    ntiles = pl.num_programs(1)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    @pl.when((it == 0) & (tile == 0))
+    def _init_pose():
+        row = T_ref[0:1, :]
+        for k in range(16):
+            smem[k] = jnp.sum(jnp.where(iota == k, row, 0.0))
+
+    @pl.when(tile == 0)
+    def _reset_acc():
+        for k in range(32):
+            smem[16 + k] = 0.0
+
+    # --- one linearization pass over this tile
+    r00, r01, r02, t0 = smem[0], smem[1], smem[2], smem[3]
+    r10, r11, r12, t1 = smem[4], smem[5], smem[6], smem[7]
+    r20, r21, r22, t2 = smem[8], smem[9], smem[10], smem[11]
+
+    sx, sy, sz = vx[:], vy[:], vz[:]
+    px = r00 * sx + r01 * sy + r02 * sz + t0
+    py = r10 * sx + r11 * sy + r12 * sz + t1
+    pz = r20 * sx + r21 * sy + r22 * sz + t2
+    ax, ay, az = nx[:], ny[:], nz[:]
+    nwx = r00 * ax + r01 * ay + r02 * az
+    nwy = r10 * ax + r11 * ay + r12 * az
+    nwz = r20 * ax + r21 * ay + r22 * az
+
+    dx = px - qx[:]
+    dy = py - qy[:]
+    dz = pz - qz[:]
+    txv, tyv, tzv = tx[:], ty[:], tz[:]
+    dist2 = dx * dx + dy * dy + dz * dz
+    ndot = nwx * txv + nwy * tyv + nwz * tzv
+    gate = (
+        m_ref[:]
+        * jnp.where(dist2 < dist_thresh * dist_thresh, 1.0, 0.0)
+        * jnp.where(ndot > angle_thresh, 1.0, 0.0)
+    )
+    r = txv * dx + tyv * dy + tzv * dz
+    if huber_delta > 0.0:
+        w = gate * jnp.minimum(1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-9))
+    else:
+        w = gate
+    j3 = py * tzv - pz * tyv
+    j4 = pz * txv - px * tzv
+    j5 = px * tyv - py * txv
+    j = (txv, tyv, tzv, j3, j4, j5)
+    k = 0
+    for a in range(6):
+        for b in range(a, 6):
+            smem[16 + k] = smem[16 + k] + jnp.sum(j[a] * j[b] * w)
+            k += 1
+    for a in range(6):
+        smem[16 + 21 + a] = smem[16 + 21 + a] + jnp.sum(j[a] * (-r) * w)
+    smem[16 + 27] = smem[16 + 27] + jnp.sum(gate)
+    smem[16 + 28] = smem[16 + 28] + jnp.sum(jnp.abs(r) * w)
+
+    @pl.when(tile == ntiles - 1)
+    def _solve_and_update():
+        # H (upper-tri order) and b from the accumulator.
+        H = [[None] * 6 for _ in range(6)]
+        kk = 0
+        for a in range(6):
+            for b in range(a, 6):
+                H[a][b] = smem[16 + kk]
+                H[b][a] = smem[16 + kk]
+                kk += 1
+        bvec = [smem[16 + 21 + a] for a in range(6)]
+        nin = smem[16 + 27]
+        # Levenberg-style damping, as ops/icp.solve_increment.
+        for a in range(6):
+            H[a][a] = H[a][a] + damping * jnp.maximum(H[a][a], 1.0)
+
+        # Unrolled scalar Cholesky H = L Lt (guarded against 0 pivots).
+        L = [[None] * 6 for _ in range(6)]
+        for i_ in range(6):
+            for j_ in range(i_ + 1):
+                s = H[i_][j_]
+                for k_ in range(j_):
+                    s = s - L[i_][k_] * L[j_][k_]
+                if i_ == j_:
+                    L[i_][i_] = jnp.sqrt(jnp.maximum(s, 1e-20))
+                else:
+                    L[i_][j_] = s / L[j_][j_]
+        # Forward then back substitution.
+        y = [None] * 6
+        for i_ in range(6):
+            s = bvec[i_]
+            for k_ in range(i_):
+                s = s - L[i_][k_] * y[k_]
+            y[i_] = s / L[i_][i_]
+        xi = [None] * 6
+        for i_ in range(5, -1, -1):
+            s = y[i_]
+            for k_ in range(i_ + 1, 6):
+                s = s - L[k_][i_] * xi[k_]
+            xi[i_] = s / L[i_][i_]
+
+        # Gate: enough inliers and finite solution, else zero update.
+        ok = nin >= float(min_valid)
+        for i_ in range(6):
+            fin = jnp.isfinite(xi[i_])
+            ok = jnp.logical_and(ok, fin)
+        okf = jnp.where(ok, 1.0, 0.0)
+        v0_, v1_, v2_ = xi[0] * okf, xi[1] * okf, xi[2] * okf
+        w0, w1, w2 = xi[3] * okf, xi[4] * okf, xi[5] * okf
+
+        # exp(xi) via Rodrigues (scalars), then pose <- exp(xi) @ pose.
+        th2 = w0 * w0 + w1 * w1 + w2 * w2
+        th = jnp.sqrt(th2)
+        small = th < 1e-8
+        ths = jnp.where(small, 1.0, th)
+        A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(ths) / ths)
+        B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(ths)) / (ths * ths))
+        C = jnp.where(
+            small, 1.0 / 6.0 - th2 / 120.0, (1.0 - A) / (ths * ths)
+        )
+        # R = I + A [w]x + B [w]x^2 ; V = I + B [w]x + C [w]x^2
+        wx = [[0.0, -w2, w1], [w2, 0.0, -w0], [-w1, w0, 0.0]]
+        wx2 = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(3):
+                s = 0.0
+                for c in range(3):
+                    s = s + wx[a][c] * wx[c][b]
+                wx2[a][b] = s
+        Rn = [[None] * 3 for _ in range(3)]
+        V = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(3):
+                eye = 1.0 if a == b else 0.0
+                Rn[a][b] = eye + A * wx[a][b] + B * wx2[a][b]
+                V[a][b] = eye + B * wx[a][b] + C * wx2[a][b]
+        vvec = [v0_, v1_, v2_]
+        tn = [None] * 3
+        for a in range(3):
+            s = 0.0
+            for b in range(3):
+                s = s + V[a][b] * vvec[b]
+            tn[a] = s
+        # pose_new = [Rn tn; 0 1] @ pose_old
+        old = [[smem[4 * a + b] for b in range(4)] for a in range(3)]
+        for a in range(3):
+            for b in range(4):
+                s = tn[a] if b == 3 else 0.0
+                for c in range(3):
+                    s = s + Rn[a][c] * old[c][b]
+                smem[4 * a + b] = s
+        smem[48] = nin
+        smem[49] = smem[16 + 28]
+
+    # Output written every step (cheap); meaningful after the last one.
+    vals = [smem[k] for k in range(16)] + [smem[48], smem[49]]
+    row = jnp.zeros((1, _LANES), jnp.float32)
+    for k, v in enumerate(vals):
+        row = row + jnp.where(iota == k, v, 0.0)
+    out_ref[:] = row
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "inner_n", "dist_thresh", "angle_thresh", "huber_delta", "damping",
+        "min_valid", "interpret",
+    ),
+)
+def gn_iterations(
+    vmap_src_c: jnp.ndarray,  # (N, 3) source vertices, camera frame
+    nmap_src_c: jnp.ndarray,  # (N, 3)
+    q_w: jnp.ndarray,  # (N, 3) associated target vertices (world)
+    n_t: jnp.ndarray,  # (N, 3) associated target normals (world)
+    gate: jnp.ndarray,  # (N,) f32 pose-independent gate
+    T_init: jnp.ndarray,  # (4, 4)
+    *,
+    inner_n: int,
+    dist_thresh: float,
+    angle_thresh: float,
+    huber_delta: float,
+    damping: float,
+    min_valid: int,
+    interpret: bool = False,
+):
+    """Run `inner_n` fixed-correspondence GN steps fully in one kernel.
+
+    Returns (T_out (4,4), inliers, res_sum) of the LAST iteration.
+    """
+    n = vmap_src_c.shape[0]
+    rows = -(-n // _LANES)
+    rows = -(-rows // _TILE_ROWS) * _TILE_ROWS
+    planes = [
+        _pad_plane(vmap_src_c[:, 0], rows), _pad_plane(vmap_src_c[:, 1], rows),
+        _pad_plane(vmap_src_c[:, 2], rows),
+        _pad_plane(nmap_src_c[:, 0], rows), _pad_plane(nmap_src_c[:, 1], rows),
+        _pad_plane(nmap_src_c[:, 2], rows),
+        _pad_plane(q_w[:, 0], rows), _pad_plane(q_w[:, 1], rows),
+        _pad_plane(q_w[:, 2], rows),
+        _pad_plane(n_t[:, 0], rows), _pad_plane(n_t[:, 1], rows),
+        _pad_plane(n_t[:, 2], rows),
+        _pad_plane(gate.astype(jnp.float32), rows),
+    ]
+    T_row = jnp.zeros((1, _LANES), jnp.float32).at[0, :16].set(
+        T_init.reshape(-1)
+    )
+    grid = (inner_n, rows // _TILE_ROWS)
+    spec = pl.BlockSpec(
+        (_TILE_ROWS, _LANES), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+    )
+    tspec = pl.BlockSpec((1, _LANES), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_kernel, inner_n=inner_n, dist_thresh=dist_thresh,
+            angle_thresh=angle_thresh, huber_delta=huber_delta,
+            damping=damping, min_valid=min_valid,
+        ),
+        grid=grid,
+        in_specs=[spec] * 13 + [tspec],
+        out_specs=tspec,
+        out_shape=jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((64,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*planes, T_row)
+    T_out = out[0, :16].reshape(4, 4)
+    return T_out, out[0, 16], out[0, 17]
+
+
 def _pad_plane(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     n = x.shape[0]
     pad = rows * _LANES - n

@@ -259,3 +259,47 @@ def test_gather_target_maps_matches_flat_gather():
         np.asarray(q)[okn], q_ref[okn], rtol=1e-5, atol=2e-5
     )
     np.testing.assert_allclose(np.asarray(n)[okn], n_ref[okn], atol=2e-2)
+
+
+def test_gn_iterations_matches_jnp_inner_loop():
+    """The whole-inner-loop GN kernel (linearize + 29-term reduce + damped
+    Cholesky + exp update in SMEM) == the jnp fixed-correspondence loop."""
+    from instancefusion_tpu.config import IcpConfig
+    from instancefusion_tpu.geometry.se3 import se3_exp
+    from instancefusion_tpu.ops import icp
+    from instancefusion_tpu.ops.pallas.icp import gn_iterations
+
+    key = jax.random.PRNGKey(3)
+    n_pts = 8192
+    q = jax.random.uniform(key, (n_pts, 3), minval=-1, maxval=1)
+    nrm = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    T_true = se3_exp(jnp.array([0.02, -0.01, 0.03, 0.01, -0.02, 0.015]))
+    R, t = T_true[:3, :3], T_true[:3, 3]
+    v = (q - t) @ R  # source vertices in camera frame: R v + t == q
+    nm = nrm @ R
+    gate = jnp.ones((n_pts,), jnp.float32)
+    cfg = IcpConfig(use_pallas=False, huber_delta=0.02)
+
+    h_img = n_pts // 128
+    v_img = v.reshape(h_img, 128, 3)
+    n_img = nm.reshape(h_img, 128, 3)
+    val = jnp.ones((h_img, 128), bool)
+    Tc = jnp.eye(4, dtype=jnp.float32)
+    for _ in range(3):
+        H6, b6, nin, rsum = icp.reduce_equations(
+            v_img, n_img, val, q, nrm, jnp.ones((n_pts,), bool), Tc, cfg
+        )
+        xi = icp.solve_increment(H6, b6, cfg)
+        xi = jnp.where(nin >= cfg.min_valid, xi, jnp.zeros_like(xi))
+        Tc = jnp.matmul(se3_exp(xi), Tc, precision=jax.lax.Precision.HIGHEST)
+
+    T_got, nin_g, rsum_g = gn_iterations(
+        v, nm, q, nrm, gate, jnp.eye(4, dtype=jnp.float32), inner_n=3,
+        dist_thresh=cfg.dist_thresh, angle_thresh=cfg.angle_thresh,
+        huber_delta=cfg.huber_delta, damping=cfg.damping,
+        min_valid=cfg.min_valid, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(T_got), np.asarray(Tc), atol=5e-5)
+    assert abs(float(nin_g) - n_pts) < 1
+    # Converged onto the ground-truth perturbation.
+    np.testing.assert_allclose(np.asarray(T_got), np.asarray(T_true), atol=5e-3)
