@@ -26,7 +26,7 @@ cfg = EngineConfig(
                     block_size=8, table_capacity=65536, touched_capacity=2048,
                     use_pallas=True),
     icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=True,
-                  assoc_every=2),
+                  assoc_every=(2, 2, 4)),
     raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
                           screen_space_normals=True, use_splat=True),
     preprocess=PreprocessConfig(use_pallas=True),

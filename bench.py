@@ -60,7 +60,10 @@ _WATCHDOG = None
 
 
 def main() -> None:
-    _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "540")))
+    # 512^3 compile is ~1-2 min alone but several minutes when the host is
+    # also compiling CPU-mesh tests; leave headroom so a loaded box still
+    # reports a real number instead of a watchdog line.
+    _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "720")))
     import jax
 
     if os.environ.get("BENCH_PLATFORM"):
@@ -101,7 +104,7 @@ def main() -> None:
             use_pallas=use_pallas,
         ),
         icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas,
-                      assoc_every=2),
+                      assoc_every=(2, 2, 4)),
         raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
                               screen_space_normals=True, use_splat=use_splat),
         preprocess=PreprocessConfig(use_pallas=use_pallas),
@@ -122,12 +125,16 @@ def main() -> None:
 
     state = slam.init_state(cfg, poses[0])
     for i in range(warmup):
-        state, info = slam.step(cfg, state, frames[i].depth, frames[i].color)
+        state, info = slam.step_donated(
+            cfg, state, frames[i].depth, frames[i].color
+        )
     sync(state)
 
     t0 = time.perf_counter()
     for i in range(warmup, warmup + nframes):
-        state, info = slam.step(cfg, state, frames[i].depth, frames[i].color)
+        state, info = slam.step_donated(
+            cfg, state, frames[i].depth, frames[i].color
+        )
     sync(state)
     dt = time.perf_counter() - t0
 

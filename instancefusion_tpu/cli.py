@@ -51,6 +51,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gt-odometry", action="store_true",
                    help="bypass tracking: fuse at the dataset's ground-truth "
                         "poses (isolates the mapping pipeline)")
+    p.add_argument("--local-loops", action="store_true",
+                   help="active/inactive local loop closure (per-block "
+                        "observation stamps; blocks map only)")
+    p.add_argument("--local-every", type=int, default=3,
+                   help="local-loop evidence poll cadence in frames")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -117,6 +122,8 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     if args.instances and not cfg.use_instances:
         cfg = _dc.replace(cfg, map_kind="blocks", use_instances=True)
+    if args.local_loops:
+        cfg = _dc.replace(cfg, map_kind="blocks", track_stamps=True)
 
     segment_fn = None
     if args.instances and args.dataset == "synthetic":
@@ -158,6 +165,8 @@ def cmd_run(args: argparse.Namespace) -> int:
             stream_every=args.stream_every,
             stream_radius=args.stream_radius,
             gt_odometry=np.asarray(gt) if (args.gt_odometry and gt is not None) else None,
+            local_loops=args.local_loops,
+            local_every=args.local_every,
         )
     metrics.close()
 

@@ -34,8 +34,12 @@ class IcpConfig:
     # Re-run projective association every k Gauss-Newton steps (1 = every
     # step, the reference behavior; 2 halves the gather cost — the fixed-
     # correspondence inner loop is the TPU-appropriate schedule since the
-    # gather, not the reduction, dominates on this hardware).
-    assoc_every: int = 1
+    # gather, not the reduction, dominates on this hardware).  A tuple
+    # gives a per-level schedule, coarse -> fine like `iters` — the fine
+    # level's full-resolution gather is the expensive one, and its GN
+    # increments are sub-voxel, so a sparser schedule there (e.g.
+    # (2, 2, 4)) trades nothing measurable for ~1 ms/frame.
+    assoc_every: int | tuple[int, ...] = 1
     # Constant-velocity motion-model seed: the ICP initial pose replays
     # `vel_seed` x the previous frame's twist (0 = previous-pose seed, the
     # reference behavior; 1 = full constant velocity).  Partial damping
@@ -126,6 +130,16 @@ class PoseGraphConfig:
     loop_dist_thresh: float = 0.08  # descriptor distance for loop candidates
     ba_iters: int = 8
     huber_delta: float = 0.05
+    # Local (active/inactive) loop closure — the reference registers the
+    # active model against the inactive model every frame (ElasticFusion's
+    # time-windowed local loops; SURVEY.md §3 "Local loop closure").  The
+    # block-map analog raycasts only blocks last fused more than
+    # `local_window` frames ago and ICPs the current frame against that
+    # inactive prediction (engine/localloop.py).  Requires
+    # EngineConfig.track_stamps.
+    local_window: int = 150  # frames since last fusion for "inactive"
+    local_min_pixels: int = 3000  # inactive-view coverage to attempt ICP
+    local_min_inlier_frac: float = 0.5  # inliers / attempted pixels gate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,6 +153,10 @@ class EngineConfig:
     posegraph: PoseGraphConfig = PoseGraphConfig()
     use_color: bool = True
     use_instances: bool = False
+    # Maintain a per-block last-fused frame stamp (i32[capacity] in the
+    # engine state) — enables active/inactive local loop closure
+    # (engine/localloop.py) and age-based diagnostics.  blocks map only.
+    track_stamps: bool = False
     # 'dense' (config 1) or 'blocks' (config 2+)
     map_kind: str = "dense"
     # Number of map shards (1 = unsharded; >1 = shard_map over 'blocks' axis)
@@ -164,7 +182,7 @@ def config2_tum_fr3_long_office() -> EngineConfig:
     raycast tracking, single chip."""
     return EngineConfig(
         intrinsics=TUM_FR3,
-        icp=IcpConfig(assoc_every=2),
+        icp=IcpConfig(assoc_every=(2, 2, 4)),
         tsdf=TsdfConfig(voxel_size=0.01, trunc=0.04, grid_size=512,
                         origin=(-2.56, -2.56, 0.0), block_size=8,
                         table_capacity=65536),
@@ -180,7 +198,7 @@ def config3_scannet_instances() -> EngineConfig:
     voting, single host."""
     return EngineConfig(
         intrinsics=TUM_FR3,
-        icp=IcpConfig(assoc_every=2),
+        icp=IcpConfig(assoc_every=(2, 2, 4)),
         tsdf=TsdfConfig(voxel_size=0.01, trunc=0.04, grid_size=512,
                         origin=(-2.56, -2.56, 0.0), block_size=8,
                         table_capacity=65536),
@@ -196,7 +214,7 @@ def config4_posegraph_sharded() -> EngineConfig:
     map blocks sharded on 1 host."""
     return EngineConfig(
         intrinsics=TUM_FR3,
-        icp=IcpConfig(assoc_every=2),
+        icp=IcpConfig(assoc_every=(2, 2, 4)),
         tsdf=TsdfConfig(voxel_size=0.02, trunc=0.08, grid_size=512,
                         origin=(-5.12, -5.12, 0.0), block_size=8,
                         table_capacity=65536),
@@ -213,7 +231,7 @@ def config5_multihost() -> EngineConfig:
     fusion + collective BA."""
     return EngineConfig(
         intrinsics=TUM_FR3,
-        icp=IcpConfig(assoc_every=2),
+        icp=IcpConfig(assoc_every=(2, 2, 4)),
         tsdf=TsdfConfig(voxel_size=0.02, trunc=0.08, grid_size=1024,
                         origin=(-10.24, -10.24, 0.0), block_size=8,
                         table_capacity=131072),

@@ -28,7 +28,7 @@ import numpy as np
 
 from instancefusion_tpu.config import EngineConfig
 from instancefusion_tpu.engine import instances as inst  # noqa: F401 (re-export)
-from instancefusion_tpu.engine import posegraph as pg, slam
+from instancefusion_tpu.engine import localloop as ll, posegraph as pg, slam
 from instancefusion_tpu.geometry.se3 import se3_inverse
 from instancefusion_tpu.ops import preprocess
 from instancefusion_tpu.utils import checkpoint as ckpt
@@ -63,6 +63,9 @@ def run(
     stream_every: int = 0,
     stream_radius: float = 4.0,
     gt_odometry=None,
+    local_loops: bool = False,
+    local_every: int = 3,
+    local_min_blocks: int = 24,
 ) -> PipelineResult:
     """Run the full pipeline over `frames` (iterable of dataset Frames).
 
@@ -97,12 +100,14 @@ def run(
         streamer = BlockStreamer(
             cfg.tsdf, radius=stream_radius,
             with_color=cfg.use_color, with_votes=cfg.use_instances,
+            with_stamps=cfg.track_stamps,
         )
 
     pgc = cfg.posegraph
     est: list[np.ndarray] = []
     timer = Timer()
     n_loops = 0
+    local_fails = 0
     t0 = time.perf_counter()
     i = start_frame - 1
 
@@ -145,10 +150,12 @@ def run(
                         if streamer is not None:
                             # The re-seated view may cover streamed-out
                             # geometry — admit the window there first.
-                            volume, votes, _ = streamer.tick(
-                                state.volume, state.votes, T_new
+                            volume, votes, stamp, _ = streamer.tick(
+                                state.volume, state.votes, T_new, state.stamp
                             )
-                            state = state._replace(volume=volume, votes=votes)
+                            state = state._replace(
+                                volume=volume, votes=votes, stamp=stamp
+                            )
                         # Re-render the model prediction from the re-seated
                         # pose: the stale prediction views the wrong part of
                         # the map and would starve the next ICP of
@@ -163,21 +170,28 @@ def run(
                         # available; refining against the map prediction
                         # would re-absorb whatever drift got fused into the
                         # map around the revisited view.
-                        state = state._replace(
-                            T_wc=T_new,
-                            pred=pred,
-                            pred_T_wc=T_new,
-                            T_prev_wc=T_new,  # zero the velocity model
-                            lost_frames=jnp.zeros((), jnp.int32),
+                        # _unalias: T_new lands in three leaves, which the
+                        # next donated step could not donate (shared buffer).
+                        state = slam._unalias_pytree(
+                            state._replace(
+                                T_wc=T_new,
+                                pred=pred,
+                                pred_T_wc=T_new,
+                                T_prev_wc=T_new,  # zero the velocity model
+                                lost_frames=jnp.zeros((), jnp.int32),
+                            )
                         )
                         relocalized = True
 
         seg = segment_fn(frame) if segment_fn is not None else None
         with timer.phase("step"):
+            # Donated variants: the previous frame's state buffers are
+            # rebound every iteration, so XLA may update the block payload
+            # in place instead of copying it (see slam.step_donated).
             if gt_odometry is not None:
                 # Tracking bypass (the reference's GroundTruthOdometry):
                 # fuse at the dataset pose, isolating the mapping pipeline.
-                state, info = slam.step_gt(
+                state, info = slam.step_gt_donated(
                     cfg, state, frame.depth, frame.color,
                     jnp.matmul(
                         se3_inverse(T_wm),
@@ -186,9 +200,102 @@ def run(
                     ),
                 )
             elif seg is not None and cfg.use_instances:
-                state, info = slam.step_seg(cfg, state, frame.depth, frame.color, seg)
+                state, info = slam.step_seg_donated(
+                    cfg, state, frame.depth, frame.color, seg
+                )
             else:
-                state, info = slam.step(cfg, state, frame.depth, frame.color)
+                state, info = slam.step_donated(
+                    cfg, state, frame.depth, frame.color
+                )
+
+        # Local (active/inactive) loop closure: when the engine starts
+        # fusing into blocks unseen for > local_window frames, register
+        # the current frame against the inactive model view and pull the
+        # engine back onto the old geometry (engine/localloop.py — the
+        # reference's per-frame active-vs-inactive registration).
+        local_closed = False
+        n_evidence = 0
+        if (
+            local_loops
+            and cfg.track_stamps
+            and cfg.map_kind == "blocks"
+            and (i + 1) % local_every == 0
+            and bool(info.track_ok)
+        ):
+            n_evidence = int(ll.evidence_count(cfg, state))
+            if n_evidence >= local_min_blocks:
+                with timer.phase("localloop"):
+                    d = preprocess.clamp_depth(frame.depth, cfg.preprocess)
+                    pyr = preprocess.build_frame_pyramid(
+                        d, cfg.intrinsics, cfg.preprocess, 1
+                    )
+                    res = ll.attempt(
+                        cfg, state, pyr[0]["vmap"], pyr[0]["nmap"],
+                        pyr[0]["valid"],
+                    )
+                    if bool(res.ok):
+                        T_corr = res.T_corr_wc
+                        T_world_corr = jnp.matmul(T_wm, T_corr, precision=_PREC)
+                        # Pose-graph constraint: loop edge from the nearest
+                        # old keyframe to a keyframe inserted at the
+                        # corrected pose.
+                        nkf = int(backend.kf.count)
+                        if nkf > 2:
+                            poses_np = np.asarray(backend.kf.poses[:nkf])
+                            dists = np.linalg.norm(
+                                poses_np[: nkf - 2, :3, 3]
+                                - np.asarray(T_world_corr[:3, 3]),
+                                axis=-1,
+                            )
+                            anchor = int(np.argmin(dists))
+                            backend = pg.add_keyframe(
+                                backend, T_world_corr, frame.color,
+                                frame.depth, pyr[0]["vmap"], pyr[0]["nmap"],
+                            )
+                            kf_cur = backend.kf.count - 1
+                            T_rel = jnp.matmul(
+                                se3_inverse(backend.kf.poses[anchor]),
+                                T_world_corr, precision=_PREC,
+                            )
+                            backend = pg.add_loop_edge(
+                                backend, anchor, kf_cur, T_rel
+                            )
+                            T_before = backend.kf.poses[kf_cur]
+                            backend, _ = pg.optimize(backend, pgc)
+                            corr = jnp.matmul(
+                                backend.kf.poses[kf_cur],
+                                se3_inverse(T_before), precision=_PREC,
+                            )
+                            T_wm = jnp.matmul(corr, T_wm, precision=_PREC)
+                        # Re-seat the engine on the inactive (old) geometry
+                        # and re-render the prediction from there.
+                        pred = slam._map_ops(cfg).raycast(
+                            state.volume, T_corr, cfg.intrinsics, cfg.tsdf,
+                            cfg.raycast, with_color=cfg.use_color,
+                        )
+                        state = slam._unalias_pytree(
+                            state._replace(
+                                T_wc=T_corr, pred=pred, pred_T_wc=T_corr,
+                                T_prev_wc=T_corr,
+                                stamp=ll.reset_gaps(
+                                    state.stamp, pgc.local_window
+                                ),
+                            )
+                        )
+                        n_loops += 1
+                        local_closed = True
+                        local_fails = 0
+                    else:
+                        local_fails += 1
+                        if local_fails >= 5:
+                            # Evidence keeps failing to register (e.g. too
+                            # little overlap) — consume it and re-arm.
+                            state = state._replace(
+                                stamp=ll.reset_gaps(
+                                    state.stamp, pgc.local_window
+                                )
+                            )
+                            local_fails = 0
 
         # Keyframes only from frames that tracked (a lost frame would
         # poison the fern database and the odometry chain).
@@ -238,10 +345,16 @@ def run(
         ):
             from instancefusion_tpu.ops import blocks as blk
 
-            volume, votes = blk.clean(
-                state.volume, cfg.tsdf, min_weight=1.0, votes=state.votes
+            out = blk.clean(
+                state.volume, cfg.tsdf, min_weight=1.0, votes=state.votes,
+                stamp=state.stamp,
             )
-            state = state._replace(volume=volume, votes=votes)
+            if state.stamp is not None:
+                volume, votes, stamp = out
+                state = state._replace(volume=volume, votes=votes, stamp=stamp)
+            else:
+                volume, votes = out
+                state = state._replace(volume=volume, votes=votes)
         if (
             retire_every
             and cfg.use_instances
@@ -253,10 +366,10 @@ def run(
         stream_stats = {}
         if streamer is not None and (i + 1) % stream_every == 0:
             with timer.phase("stream"):
-                volume, votes, stream_stats = streamer.tick(
-                    state.volume, state.votes, state.T_wc
+                volume, votes, stamp, stream_stats = streamer.tick(
+                    state.volume, state.votes, state.T_wc, state.stamp
                 )
-                state = state._replace(volume=volume, votes=votes)
+                state = state._replace(volume=volume, votes=votes, stamp=stamp)
 
         est.append(np.asarray(jnp.matmul(T_wm, state.T_wc, precision=_PREC)))
         if metrics is not None:
@@ -268,6 +381,8 @@ def run(
                     "track_ok": bool(info.track_ok),
                     "keyframe": bool(is_kf),
                     "loop_closed": closed,
+                    "local_loop_closed": local_closed,
+                    "local_evidence": n_evidence,
                     "relocalized": relocalized,
                     "lost_frames": int(state.lost_frames),
                     **stream_stats,

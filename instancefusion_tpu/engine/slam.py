@@ -63,6 +63,13 @@ class SlamState(NamedTuple):
     # pytree node, so the no-instance jit signature is unchanged).
     votes: labels.LabelVotes | None = None
     table: inst.InstanceTable | None = None
+    # Per-slot observation stamps, i32[capacity, 2] = (last_fused_frame,
+    # observation_gap) — None unless cfg.track_stamps.  `gap` records, for
+    # the update streak a block is currently in, how many frames it went
+    # UNSEEN before the streak began (sticky until reset): the evidence
+    # signal for active/inactive local loop closure (engine/localloop.py) —
+    # the reference's ElasticFusion-style time-windowed model split.
+    stamp: jnp.ndarray | None = None
 
 
 class StepInfo(NamedTuple):
@@ -90,7 +97,12 @@ def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamS
             raise ValueError("instance fusion requires map_kind='blocks'")
         votes = labels.allocate(cfg.tsdf)
         table = inst.allocate(cfg.instances)
-    return SlamState(
+    stamp = None
+    if cfg.track_stamps:
+        if cfg.map_kind != "blocks":
+            raise ValueError("track_stamps requires map_kind='blocks'")
+        stamp = jnp.zeros((cfg.tsdf.table_capacity, 2), jnp.int32)
+    state = SlamState(
         T_wc=T0,
         volume=volume,
         pred=pred,
@@ -100,7 +112,20 @@ def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamS
         T_prev_wc=T0,
         votes=votes,
         table=table,
+        stamp=stamp,
     )
+    # Leaves holding the same buffer (T0 three times; cached zeros
+    # constants) would make the donated step variants fail with
+    # "donate the same buffer twice" — split them once here.
+    return _unalias_pytree(state)
+
+
+@jax.jit
+def _unalias_pytree(tree):
+    """Give every leaf of `tree` its own buffer (see step_donated)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    leaves = jax.lax.optimization_barrier(tuple(leaves))
+    return jax.tree.unflatten(treedef, list(leaves))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -230,6 +255,12 @@ def step(
             with_color=cfg.use_color, **rc_kwargs,
         )
 
+    stamp = state.stamp
+    if stamp is not None and cfg.map_kind == "blocks":
+        stamp = _update_stamps(
+            cfg, stamp, volume, state.volume.n_active, T_new, fuse_ok,
+            state.frame_idx,
+        )
     new_state = state._replace(
         T_wc=T_new,
         volume=volume,
@@ -242,6 +273,7 @@ def step(
         # On failure T_new == T_wc, so setting prev := old pose keeps the
         # velocity term identity (no runaway extrapolation while lost).
         T_prev_wc=jnp.where(result.valid, state.T_wc, T_new),
+        stamp=stamp,
     )
     info = StepInfo(
         inliers=result.inliers,
@@ -322,11 +354,18 @@ def step_gt(
             volume, T_new, intr, cfg.tsdf, cfg.raycast,
             with_color=cfg.use_color, **rc_kwargs,
         )
+    stamp = state.stamp
+    if stamp is not None and cfg.map_kind == "blocks":
+        stamp = _update_stamps(
+            cfg, stamp, volume, state.volume.n_active, T_new,
+            jnp.ones((), bool), state.frame_idx,
+        )
     new_state = state._replace(
         T_wc=T_new, volume=volume, pred=pred, pred_T_wc=T_new,
         frame_idx=state.frame_idx + 1,
         lost_frames=jnp.zeros((), jnp.int32),
         T_prev_wc=state.T_wc,
+        stamp=stamp,
     )
     info = StepInfo(
         inliers=jnp.zeros(()),
@@ -383,6 +422,67 @@ def step_seg(
         cfg.tsdf,
     )
     return new_state._replace(votes=votes, table=table), info
+
+
+# Donated step variants: the input state's buffers are released to XLA, so
+# the in-place payload updates (the Pallas integrate kernel aliases its
+# input rows) don't force a defensive copy of the multi-hundred-MB block
+# payload at the jit boundary (~0.8 ms/frame at 512^3).  The caller must
+# not touch the passed-in state afterwards — the sequential drivers
+# (bench.py, engine/pipeline.py) rebind it every frame; tests and ad-hoc
+# callers keep the non-donated `step`.
+#
+# The pose trio (T_wc / pred_T_wc / T_prev_wc) is frequently the SAME
+# traced value (e.g. T_new feeds both T_wc and pred_T_wc), which XLA
+# dedups into one output buffer — and a shared buffer cannot be donated
+# twice on the next call.  An optimization_barrier over the trio forces
+# three distinct output buffers at zero cost.
+def _make_donated(fn):
+    def wrapper(cfg, state, *args):
+        new_state, info = fn(cfg, state, *args)
+        t_wc, t_pred, t_prev = jax.lax.optimization_barrier(
+            (new_state.T_wc, new_state.pred_T_wc, new_state.T_prev_wc)
+        )
+        return (
+            new_state._replace(T_wc=t_wc, pred_T_wc=t_pred, T_prev_wc=t_prev),
+            info,
+        )
+
+    return jax.jit(wrapper, static_argnums=(0,), donate_argnums=(1,))
+
+
+step_donated = _make_donated(step.__wrapped__)
+step_gt_donated = _make_donated(step_gt.__wrapped__)
+step_seg_donated = _make_donated(step_seg.__wrapped__)
+
+
+def _update_stamps(cfg, stamp, volume, n_before, T_new, fuse_ok, frame_idx):
+    """Per-slot (last_fused, gap) update for this frame's in-view blocks.
+
+    Stamps are 1-based frame numbers (0 = never fused).  A block updated
+    after going unseen for more than 2 frames records that gap — sticky
+    until engine/localloop.reset_gaps — as the revisit-evidence signal for
+    active/inactive local loop closure.  Freshly allocated slots are new
+    geometry, not revisits: gap stays 0.
+    """
+    f = frame_idx + 1
+    inview = (
+        blocks.frustum_mask(
+            volume, T_new, cfg.intrinsics, cfg.tsdf,
+            cfg.raycast.near, cfg.raycast.far,
+        )
+        & fuse_ok
+    )
+    last, gap = stamp[:, 0], stamp[:, 1]
+    delta = f - last
+    gap_new = jnp.where(inview & (delta > 2) & (last > 0), delta, gap)
+    last_new = jnp.where(inview, f, last)
+    c = stamp.shape[0]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    fresh = (slot_ids >= n_before) & (slot_ids < volume.n_active)
+    last_new = jnp.where(fresh, f, last_new)
+    gap_new = jnp.where(fresh, 0, gap_new)
+    return jnp.stack([last_new, gap_new], axis=-1)
 
 
 def _motion_seed(T_wc, T_prev_wc, vel: float):

@@ -35,14 +35,20 @@ from instancefusion_tpu.ops import blocks as blk
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3, 5))
-def _partition_jit(bm, cfg, center_w, radius, votes, evict_cap):
-    return blk.partition_window(bm, cfg, center_w, radius, evict_cap, votes)
+def _partition_jit(bm, cfg, center_w, radius, votes, evict_cap, stamp=None):
+    return blk.partition_window(
+        bm, cfg, center_w, radius, evict_cap, votes, stamp
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def _admit_jit(bm, cfg, coords, sdf, weight, color, valid, votes, label, count):
+def _admit_jit(
+    bm, cfg, coords, sdf, weight, color, valid, votes, label, count,
+    stamp=None, row_stamp=None,
+):
     return blk.admit_rows(
-        bm, cfg, coords, sdf, weight, color, valid, votes, label, count
+        bm, cfg, coords, sdf, weight, color, valid, votes, label, count,
+        stamp, row_stamp,
     )
 
 
@@ -63,6 +69,7 @@ class BlockStreamer:
         admit_cap: int = 1024,
         with_color: bool = True,
         with_votes: bool = False,
+        with_stamps: bool = False,
     ):
         self.cfg = cfg
         self.radius = float(radius)
@@ -70,6 +77,7 @@ class BlockStreamer:
         self.admit_cap = int(admit_cap)
         self.with_color = with_color
         self.with_votes = with_votes
+        self.with_stamps = with_stamps
         # flat block id -> dict of numpy rows
         self.store: dict[int, dict[str, np.ndarray]] = {}
         b3 = cfg.block_size**3
@@ -83,6 +91,8 @@ class BlockStreamer:
         if with_votes:
             self._zero["label"] = np.full((b3,), -1, np.int32)
             self._zero["count"] = np.zeros((b3,), np.float32)
+        if with_stamps:
+            self._zero["stamp"] = np.zeros((2,), np.int32)
 
     def _centers(self, flat_ids: np.ndarray) -> np.ndarray:
         nb = blk.num_blocks_per_axis(self.cfg)
@@ -92,15 +102,15 @@ class BlockStreamer:
         )
         return np.asarray(self.cfg.origin) + (coords + 0.5) * bsz
 
-    def admit(self, volume, votes, center_w: np.ndarray):
+    def admit(self, volume, votes, center_w: np.ndarray, stamp=None):
         """Move stored blocks whose center is inside the window to device."""
         if not self.store:
-            return volume, votes, 0
+            return volume, votes, stamp, 0
         ids = np.fromiter(self.store.keys(), dtype=np.int64)
         dist = np.linalg.norm(self._centers(ids) - center_w[None, :], axis=-1)
         hot = ids[dist <= self.radius][: self.admit_cap]
         if hot.size == 0:
-            return volume, votes, 0
+            return volume, votes, stamp, 0
         rows = [self.store.pop(int(i)) for i in hot]
         n = self.admit_cap
 
@@ -112,25 +122,35 @@ class BlockStreamer:
         valid = jnp.asarray(
             np.concatenate([np.ones(len(rows), bool), np.zeros(n - len(rows), bool)])
         )
-        volume, votes, fits = _admit_jit(
+        out = _admit_jit(
             volume, self.cfg, batch("coords"), batch("sdf"), batch("weight"),
             batch("color") if self.with_color else None, valid, votes,
             batch("label") if self.with_votes else None,
             batch("count") if self.with_votes else None,
+            stamp,
+            batch("stamp") if (stamp is not None and self.with_stamps) else None,
         )
+        if stamp is not None:
+            volume, votes, fits, stamp = out
+        else:
+            volume, votes, fits = out
         # Blocks that didn't fit (capacity) go back to the store.
         fits_np = np.asarray(fits)[: len(rows)]
         for i, r in enumerate(rows):
             if not fits_np[i]:
                 self.store[int(hot[i])] = r
-        return volume, votes, int(fits_np.sum())
+        return volume, votes, stamp, int(fits_np.sum())
 
-    def evict(self, volume, votes, center_w: np.ndarray):
+    def evict(self, volume, votes, center_w: np.ndarray, stamp=None):
         """Move live blocks outside the window to the host store."""
-        volume, votes_new, ev = _partition_jit(
+        out = _partition_jit(
             volume, self.cfg, jnp.asarray(center_w, jnp.float32),
-            self.radius, votes, self.evict_cap,
+            self.radius, votes, self.evict_cap, stamp,
         )
+        if stamp is not None:
+            volume, votes_new, ev, stamp = out
+        else:
+            volume, votes_new, ev = out
         ev = jax.device_get(ev)
         nb = blk.num_blocks_per_axis(self.cfg)
         n_out = 0
@@ -149,16 +169,18 @@ class BlockStreamer:
             if self.with_votes:
                 row["label"] = ev["label"][i]
                 row["count"] = ev["count"][i]
+            if self.with_stamps and "stamp" in ev:
+                row["stamp"] = ev["stamp"][i]
             self.store[fid] = row
             n_out += 1
-        return volume, (votes_new if votes is not None else votes), n_out
+        return volume, (votes_new if votes is not None else votes), stamp, n_out
 
-    def tick(self, volume, votes, T_wc):
+    def tick(self, volume, votes, T_wc, stamp=None):
         """One streaming step: admit re-entering blocks, evict cold ones."""
         center = np.asarray(T_wc)[:3, 3]
-        volume, votes, n_in = self.admit(volume, votes, center)
-        volume, votes, n_out = self.evict(volume, votes, center)
-        return volume, votes, {
+        volume, votes, stamp, n_in = self.admit(volume, votes, center, stamp)
+        volume, votes, stamp, n_out = self.evict(volume, votes, center, stamp)
+        return volume, votes, stamp, {
             "stream_in": n_in,
             "stream_out": n_out,
             "stored_blocks": len(self.store),

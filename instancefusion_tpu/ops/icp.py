@@ -335,8 +335,12 @@ def track(
         # level, ~4 at full resolution); lvl counts fine->coarse, so flip.
         # Association (the gather) runs every `assoc_every` GN steps; the
         # steps in between reuse the correspondences (see `associate`).
-        n_it = cfg.iters[max(0, min(cfg.levels - 1 - lvl, len(cfg.iters) - 1))]
-        inner_n = max(1, min(cfg.assoc_every, n_it))
+        idx = max(0, min(cfg.levels - 1 - lvl, len(cfg.iters) - 1))
+        n_it = cfg.iters[idx]
+        ae = cfg.assoc_every
+        if isinstance(ae, tuple):
+            ae = ae[min(idx, len(ae) - 1)]
+        inner_n = max(1, min(ae, n_it))
         outer_n = -(-n_it // inner_n)
         T, inliers, res_sum = jax.lax.fori_loop(
             0, outer_n,

@@ -133,10 +133,10 @@ def _integrate_shard(
     # --- integrate my touched rows (zero communication)
     touched_mine = touched & mine & (dir_new >= 0)
     k = min(max_touched, nb * nb * nb)
-    vals, tidx = jax.lax.top_k(touched_mine.astype(jnp.int32), k)
+    tidx, tvalid = blk.compact_mask_indices(touched_mine, k)
     gslots = dir_new[tidx]
     lslots = gslots - sid * cl
-    valid = (vals > 0) & (lslots >= 0) & (lslots < cl)
+    valid = tvalid & (lslots >= 0) & (lslots < cl)
     lslots = jnp.where(valid, lslots, 0)
 
     from instancefusion_tpu.geometry.camera import project
@@ -243,10 +243,9 @@ def _halo_exchange(
     def boundary_rows(layer_bx):
         """Compact my allocated blocks at x-layer `layer_bx` (<= halo_cap)."""
         sel = (bx == layer_bx) & (owner == sid) & (dir_flat >= 0)
-        vals, tidx = jax.lax.top_k(sel.astype(jnp.int32), halo_cap)
+        tidx, ok = blk.compact_mask_indices(sel, halo_cap)
         gslot = dir_flat[tidx]
         lslot = jnp.clip(gslot - sid * cl, 0, cl - 1)
-        ok = vals > 0
         rows_sdf = jnp.where(ok[:, None], sdf_l[lslot], blk.UNOBSERVED)
         rows_w = jnp.where(ok[:, None], w_l[lslot], 0.0)
         rows_col = (
@@ -419,10 +418,10 @@ def _fuse_labels_shard(
     mine = _slab_of(idx // (nb * nb), nb, num_shards) == sid
     touched_mine = touched & mine & (dir_flat >= 0)
     k = min(max_touched, nb * nb * nb)
-    vals, tidx = jax.lax.top_k(touched_mine.astype(jnp.int32), k)
+    tidx, tvalid = blk.compact_mask_indices(touched_mine, k)
     gslots = dir_flat[tidx]
     lslots = gslots - sid * cl
-    valid = (vals > 0) & (lslots >= 0) & (lslots < cl)
+    valid = tvalid & (lslots >= 0) & (lslots < cl)
     lslots = jnp.where(valid, lslots, 0)
 
     from instancefusion_tpu.geometry.camera import project
@@ -579,8 +578,7 @@ def _reshard_shard(
     sent = jnp.zeros((cl,), bool)
     for d in range(num_shards):
         mask = allocated & (owner == d) & (d != sid)
-        vals, idx = jax.lax.top_k(mask.astype(jnp.int32), q)
-        ok = vals > 0
+        idx, ok = blk.compact_mask_indices(mask, q)
         idx_c = jnp.where(ok, idx, 0)
         send_coords.append(jnp.where(ok[:, None], coords_l[idx_c], -1))
         send_sdf.append(sdf_l[idx_c])

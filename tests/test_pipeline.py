@@ -81,6 +81,35 @@ def test_checkpoint_config_mismatch_rejected(tmp_path):
         ckpt.restore(cdir, ex, other)
 
 
+def test_pipeline_local_loops_path(tmp_path):
+    """Pipeline with active/inactive local loop closure enabled: stamps
+    flow through the donated step, the evidence poll runs at cadence, and
+    metrics carry the local-loop fields."""
+    from tests.helpers import SMALL_TSDF
+
+    cfg = dataclasses.replace(
+        CFG,
+        map_kind="blocks",
+        track_stamps=True,
+        tsdf=dataclasses.replace(SMALL_TSDF, table_capacity=4096),
+    )
+    frames, poses = _frames(7)
+    mpath = tmp_path / "metrics.jsonl"
+    metrics = MetricsWriter(str(mpath))
+    res = pipeline.run(
+        cfg, frames, T_init_wc=poses[0], metrics=metrics,
+        local_loops=True, local_every=2,
+    )
+    metrics.close()
+    assert res.poses.shape == (7, 4, 4)
+    ate = ate_rmse(res.poses, np.asarray(poses))
+    assert ate < cfg.tsdf.voxel_size
+    lines = mpath.read_text().strip().splitlines()
+    assert '"local_loop_closed"' in lines[-1]
+    assert res.state.stamp is not None
+    assert int(res.state.stamp[:, 0].max()) == 7  # stamps kept current
+
+
 def test_gt_odometry_bypasses_tracking():
     """The reference's GroundTruthOdometry mode: poses come from the
     dataset, tracking is skipped, fusion runs at the exact GT trajectory."""

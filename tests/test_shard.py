@@ -147,11 +147,16 @@ def test_fault_injection_shard_loss_degrades_gracefully(mesh):
     n_healthy = int(healthy.valid.sum())
     assert n_healthy > 500
 
-    # Wipe shard 1's rows (weights to zero = unobserved).
+    # Wipe shard 1's rows: a lost host loses its payload entirely, so both
+    # planes reset — sdf to the UNOBSERVED sentinel (what the raycaster
+    # samples; weights are never gathered on the sampling path) and weight
+    # to zero (what integrate/clean consult).
     cl = sh.sdf.shape[0] // NSHARDS
     w = np.array(sh.weight)
+    s = np.array(sh.sdf)
     w[cl : 2 * cl] = 0.0
-    sh_broken = sh._replace(weight=jnp.asarray(w))
+    s[cl : 2 * cl] = blocks.UNOBSERVED
+    sh_broken = sh._replace(weight=jnp.asarray(w), sdf=jnp.asarray(s))
     broken = shard.raycast(sh_broken, f.T_wc, mesh, tiny, CFG, RC)
     n_broken = int(broken.valid.sum())
     assert np.isfinite(np.asarray(broken.depth)).all()

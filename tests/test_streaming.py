@@ -28,7 +28,7 @@ def test_evict_admit_roundtrip_bit_exact():
     # Window centered far away: everything is cold -> evicts (bounded cap).
     streamer = BlockStreamer(SMALL_TSDF, radius=0.4, evict_cap=512, admit_cap=512)
     far = np.array([50.0, 50.0, 50.0], np.float32)
-    vol, _, n_out = streamer.evict(bm, None, far)
+    vol, _, _, n_out = streamer.evict(bm, None, far)
     assert n_out == n0
     assert int(vol.n_active) == 0
     assert len(streamer.store) == n0
@@ -37,7 +37,7 @@ def test_evict_admit_roundtrip_bit_exact():
 
     # Re-admit around the scene: every block comes back bit-exact.
     streamer.radius = 1e9
-    vol, _, n_in = streamer.admit(vol, None, np.zeros(3, np.float32))
+    vol, _, _, n_in = streamer.admit(vol, None, np.zeros(3, np.float32))
     assert n_in == n0
     assert len(streamer.store) == 0
     assert int(vol.n_active) == n0
@@ -66,7 +66,7 @@ def test_partial_window_keeps_near_blocks_and_raycast():
     # Window that keeps some blocks and evicts others.
     streamer = BlockStreamer(SMALL_TSDF, radius=1.2, evict_cap=4096)
     pre = blocks.raycast(bm, poses[0], SMALL_INTR, SMALL_TSDF, SMALL_CFG.raycast)
-    vol, _, n_out = streamer.evict(bm, None, cam)
+    vol, _, _, n_out = streamer.evict(bm, None, cam)
     assert 0 < n_out < int(bm.n_active)
 
     # Blocks within ~radius - block diagonal must be untouched: raycast hits
@@ -83,7 +83,7 @@ def test_partial_window_keeps_near_blocks_and_raycast():
 
     # Re-admit everything and confirm full raycast equality.
     streamer.radius = 1e9
-    vol, _, n_in = streamer.admit(vol, None, cam)
+    vol, _, _, n_in = streamer.admit(vol, None, cam)
     assert n_in == n_out
     back = blocks.raycast(vol, poses[0], SMALL_INTR, SMALL_TSDF, SMALL_CFG.raycast)
     np.testing.assert_allclose(
@@ -105,11 +105,44 @@ def test_streaming_with_votes_roundtrip():
         SMALL_TSDF, radius=0.1, evict_cap=4096, with_votes=True
     )
     far = np.array([99.0, 0.0, 0.0], np.float32)
-    vol, votes2, n_out = streamer.evict(bm, votes, far)
+    vol, votes2, _, n_out = streamer.evict(bm, votes, far)
     assert n_out == int(bm.n_active)
     assert int(jnp.sum(votes2.count > 0)) == 0
 
     streamer.radius = 1e9
-    vol, votes3, n_in = streamer.admit(vol, votes2, far)
+    vol, votes3, _, n_in = streamer.admit(vol, votes2, far)
     assert n_in == n_out
     assert int(jnp.sum((votes3.count > 0) & (votes3.label >= 0))) == n_lab0
+
+
+def test_streaming_with_stamps_roundtrip():
+    bm, poses = _fused_block_map(2)
+    c = bm.sdf.shape[0]
+    n0 = int(bm.n_active)
+    # Distinct per-slot stamps so the roundtrip is detectable.
+    stamp = jnp.stack(
+        [jnp.arange(c, dtype=jnp.int32) + 1,
+         jnp.full((c,), 33, jnp.int32)], axis=-1,
+    )
+    golden = {
+        tuple(np.asarray(bm.block_coords[i])): np.asarray(stamp[i])
+        for i in range(n0)
+    }
+
+    streamer = BlockStreamer(
+        SMALL_TSDF, radius=0.1, evict_cap=4096, with_stamps=True
+    )
+    far = np.array([99.0, 0.0, 0.0], np.float32)
+    vol, _, stamp2, n_out = streamer.evict(bm, None, far, stamp)
+    assert n_out == n0
+
+    streamer.radius = 1e9
+    vol, _, stamp3, n_in = streamer.admit(vol, None, far, stamp2)
+    assert n_in == n_out
+    got = {
+        tuple(np.asarray(vol.block_coords[i])): np.asarray(stamp3[i])
+        for i in range(int(vol.n_active))
+    }
+    assert set(golden) == set(got)
+    for k in golden:
+        np.testing.assert_array_equal(golden[k], got[k])
