@@ -106,7 +106,9 @@ def main() -> None:
         icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas,
                       assoc_every=(2, 2, 4)),
         raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
-                              screen_space_normals=True, use_splat=use_splat),
+                              screen_space_normals=True, use_splat=use_splat,
+                              predict_color=os.environ.get(
+                                  "BENCH_PREDCOLOR", "0") == "1"),
         preprocess=PreprocessConfig(use_pallas=use_pallas),
         map_kind=map_kind,
         use_color=True,

@@ -98,6 +98,12 @@ class RaycastConfig:
     # ~0.7*fx*voxel/rmax meters get coverage gaps.  The jnp golden's
     # scatter count grows as (2*rmax+1)^2, so tests use a small value.
     splat_rmax: int = 8
+    # Render predicted color maps every frame.  The prediction's color is
+    # only consumed by the photometric ICP term and by visualization; map
+    # color is fused regardless (use_color).  Off, the splat drops 3 of
+    # its 7 vote channels (~0.4 ms/frame at 512^3); it is forced on
+    # whenever icp.rgb_weight > 0.
+    predict_color: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from instancefusion_tpu.ops.common import decimate
 from instancefusion_tpu.config import EngineConfig
 from instancefusion_tpu.ops import blocks, icp
 
@@ -139,9 +140,9 @@ def _pyramid_from_maps(vmap_c, nmap_c, valid, levels: int):
         s = 1 << lvl
         pyr.append(
             {
-                "vmap": vmap_c[::s, ::s],
-                "nmap": nmap_c[::s, ::s],
-                "valid": valid[::s, ::s],
+                "vmap": decimate(vmap_c, s),
+                "nmap": decimate(nmap_c, s),
+                "valid": decimate(valid, s),
             }
         )
     return pyr

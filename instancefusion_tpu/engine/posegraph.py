@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from instancefusion_tpu.ops.common import decimate
 from instancefusion_tpu.config import EngineConfig, PoseGraphConfig
 from instancefusion_tpu.geometry.camera import Intrinsics
 from instancefusion_tpu.geometry.se3 import se3_inverse, transform_points, rotate_vectors
@@ -86,9 +87,9 @@ def add_keyframe(
     weight after ICP verification.
     """
     code = ferns.encode(bs.coder, color, depth)
-    v = vertex_c[::decim, ::decim]
-    n = normal_c[::decim, ::decim]
-    val = (depth[::decim, ::decim] > 0.0) & (
+    v = decimate(vertex_c, decim)
+    n = decimate(normal_c, decim)
+    val = (decimate(depth, decim) > 0.0) & (
         jnp.linalg.norm(n, axis=-1) > 1e-6
     )
     i = jnp.minimum(bs.kf.count, bs.kf.poses.shape[0] - 1)
@@ -167,8 +168,8 @@ def verify_loop(
         cx=(intr.cx + 0.5) / decim - 0.5, cy=(intr.cy + 0.5) / decim - 0.5,
         width=intr.width // decim, height=intr.height // decim,
     )
-    src_v = vertex_c[::decim, ::decim]
-    src_n = normal_c[::decim, ::decim]
+    src_v = decimate(vertex_c, decim)
+    src_n = decimate(normal_c, decim)
     src_val = (src_v[..., 2] > 0.0) & (jnp.linalg.norm(src_n, axis=-1) > 1e-6)
 
     # Initialize at the tracked pose if given, else at the keyframe pose.

@@ -175,6 +175,12 @@ def step(
     depth_masked = jnp.where(fuse_ok, d0, jnp.zeros_like(d0))
     ops = _map_ops(cfg)
     frame_color = color if cfg.use_color else None
+    # Predicted color only feeds the photometric term / visualization;
+    # off, the splat drops 3 of its 7 vote channels (map color is
+    # still fused -- use_color governs integration).
+    pred_color = cfg.use_color and (
+        cfg.raycast.predict_color or cfg.icp.rgb_weight > 0.0
+    )
     if cfg.map_kind == "blocks" and cfg.raycast.use_splat:
         # Fast path: one shared in-frustum block list feeds both the fused
         # integrate and the Pallas splat-raycast prediction (zero random
@@ -209,7 +215,7 @@ def step(
             )
             pred = blocks.raycast_splat_groups(
                 volume, T_new, intr, cfg.tsdf, gids, row_valid,
-                with_color=cfg.use_color,
+                with_color=pred_color,
                 depth_prior=prior,
                 rmax=cfg.raycast.splat_rmax,
             )
@@ -228,7 +234,7 @@ def step(
             )
             pred = blocks.raycast_splat(
                 volume, T_new, intr, cfg.tsdf, slots, slot_valid,
-                with_color=cfg.use_color,
+                with_color=pred_color,
                 interpret=jax.default_backend() != "tpu",
                 depth_prior=prior,
                 rmax=cfg.raycast.splat_rmax,
@@ -252,7 +258,7 @@ def step(
             rc_kwargs["screen_space_normals"] = cfg.raycast.screen_space_normals
         pred = ops.raycast(
             volume, T_new, intr, cfg.tsdf, cfg.raycast,
-            with_color=cfg.use_color, **rc_kwargs,
+            with_color=pred_color, **rc_kwargs,
         )
 
     stamp = state.stamp
@@ -306,6 +312,12 @@ def step_gt(
     fused = tsdf_integrate_count(d0)
     ops = _map_ops(cfg)
     frame_color = color if cfg.use_color else None
+    # Predicted color only feeds the photometric term / visualization;
+    # off, the splat drops 3 of its 7 vote channels (map color is
+    # still fused -- use_color governs integration).
+    pred_color = cfg.use_color and (
+        cfg.raycast.predict_color or cfg.icp.rgb_weight > 0.0
+    )
     if cfg.map_kind == "blocks" and cfg.raycast.use_splat:
         prior = jnp.where(d0 > 0.0, d0, state.pred.depth)
         volume = blocks.discover_allocate(state.volume, d0, T_new, intr, cfg.tsdf)
@@ -320,7 +332,7 @@ def step_gt(
             )
             pred = blocks.raycast_splat_groups(
                 volume, T_new, intr, cfg.tsdf, gids, row_valid,
-                with_color=cfg.use_color, depth_prior=prior,
+                with_color=pred_color, depth_prior=prior,
                 rmax=cfg.raycast.splat_rmax,
             )
         else:
@@ -335,7 +347,7 @@ def step_gt(
             )
             pred = blocks.raycast_splat(
                 volume, T_new, intr, cfg.tsdf, slots, slot_valid,
-                with_color=cfg.use_color,
+                with_color=pred_color,
                 interpret=jax.default_backend() != "tpu",
                 depth_prior=prior, rmax=cfg.raycast.splat_rmax,
             )
@@ -352,7 +364,7 @@ def step_gt(
             rc_kwargs["screen_space_normals"] = cfg.raycast.screen_space_normals
         pred = ops.raycast(
             volume, T_new, intr, cfg.tsdf, cfg.raycast,
-            with_color=cfg.use_color, **rc_kwargs,
+            with_color=pred_color, **rc_kwargs,
         )
     stamp = state.stamp
     if stamp is not None and cfg.map_kind == "blocks":

@@ -87,7 +87,8 @@ class BlockStreamer:
             "weight": np.zeros((b3,), np.float32),
         }
         if with_color:
-            self._zero["color"] = np.zeros((b3, 3), np.float32)
+            # Packed [r | g | b] channel-segmented rows (blocks.BlockMap).
+            self._zero["color"] = np.zeros((3 * b3,), np.float32)
         if with_votes:
             self._zero["label"] = np.full((b3,), -1, np.int32)
             self._zero["count"] = np.zeros((b3,), np.float32)

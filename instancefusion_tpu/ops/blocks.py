@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from instancefusion_tpu.config import TsdfConfig
+from instancefusion_tpu.ops.common import decimate
 from instancefusion_tpu.geometry.camera import Intrinsics, project, ray_directions
 from instancefusion_tpu.geometry.se3 import se3_inverse, transform_points
 
@@ -50,7 +51,14 @@ class BlockMap(NamedTuple):
     overflow: jnp.ndarray  # () i32 — blocks dropped due to capacity
     sdf: jnp.ndarray  # f32[C, B^3] normalized to [-1,1]
     weight: jnp.ndarray  # f32[C, B^3]
-    color: jnp.ndarray  # f32[C, B^3, 3] (or [C, 0, 3] when disabled)
+    # Packed per-row color planes: [r | g | b] channel segments of B^3
+    # lanes each, f32[C, 3*B^3] (or [C, 0] when disabled).  Channel-
+    # segmented rows keep every per-channel access a contiguous lane
+    # slice, so the Pallas integrate/splat kernels read and update color
+    # in place with zero split/stack copies of the (hundreds of MB)
+    # payload per frame — the [C, B^3, 3] interleaved layout cost two
+    # full-payload reshuffles per frame at 512^3.
+    color: jnp.ndarray  # f32[C, 3*B^3]
 
 
 def num_blocks_per_axis(cfg: TsdfConfig) -> int:
@@ -69,7 +77,20 @@ def allocate(cfg: TsdfConfig, with_color: bool = True) -> BlockMap:
         overflow=jnp.zeros((), jnp.int32),
         sdf=jnp.full((c, b3), UNOBSERVED, jnp.float32),
         weight=jnp.zeros((c, b3), jnp.float32),
-        color=jnp.zeros((c, b3 if with_color else 0, 3), jnp.float32),
+        color=jnp.zeros((c, 3 * b3 if with_color else 0), jnp.float32),
+    )
+
+
+def pack_color(c3: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved (..., B^3, 3) color -> packed (..., 3*B^3) rows."""
+    return jnp.concatenate([c3[..., c] for c in range(3)], axis=-1)
+
+
+def unpack_color(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed (..., 3*B^3) color rows -> interleaved (..., B^3, 3)."""
+    b3 = packed.shape[-1] // 3
+    return jnp.stack(
+        [packed[..., c * b3 : (c + 1) * b3] for c in range(3)], axis=-1
     )
 
 
@@ -103,8 +124,8 @@ def touched_blocks_mask(
     nb = num_blocks_per_axis(cfg)
     rays = ray_directions(intr)  # (H,W,3) unit-z
     if stride > 1:
-        rays = rays[::stride, ::stride]
-        depth = depth[::stride, ::stride]
+        rays = decimate(rays, stride)
+        depth = decimate(depth, stride)
     R = T_wc[:3, :3]
     o = T_wc[:3, 3]
     dirs_w = rays.reshape(-1, 3) @ R.T  # unit-z dirs in world
@@ -212,8 +233,8 @@ def discover_allocate(
     c = cfg.table_capacity
     rays = ray_directions(intr)
     if stride > 1:
-        rays = rays[::stride, ::stride]
-        depth = depth[::stride, ::stride]
+        rays = decimate(rays, stride)
+        depth = decimate(depth, stride)
     R = T_wc[:3, :3]
     o = T_wc[:3, 3]
     dirs_w = rays.reshape(-1, 3) @ R.T
@@ -528,13 +549,11 @@ def integrate_slots(
         # (ops/pallas/tsdf.py); association gather above stays XLA.
         from instancefusion_tpu.ops.pallas.tsdf import fused_tsdf_update
 
-        c_old = bm.color[slots]
-        c_obs = color[vic, uic]
-        sdf_new, w_new, cr, cg, cb = fused_tsdf_update(
-            sdf_old, w_old, c_old[..., 0], c_old[..., 1], c_old[..., 2],
-            psi, w_obs, c_obs[..., 0], c_obs[..., 1], c_obs[..., 2],
+        c_old = bm.color[slots]  # (K, 3*B^3) packed
+        c_obs = pack_color(color[vic, uic])
+        sdf_new, w_new, c_new = fused_tsdf_update(
+            sdf_old, w_old, c_old, psi, w_obs, c_obs,
             cfg.max_weight, interpret=jax.default_backend() != "tpu")
-        c_new = jnp.stack([cr, cg, cb], axis=-1)
         return bm._replace(
             sdf=bm.sdf.at[out_slots].set(sdf_new, mode="drop"),
             weight=bm.weight.at[out_slots].set(w_new, mode="drop"),
@@ -555,9 +574,12 @@ def integrate_slots(
 
     new_color = bm.color
     if has_color:
-        c_old = bm.color[slots]
-        c_obs = color[vic, uic]
-        c_new = (c_old * w_old[..., None] + c_obs * w_obs[..., None]) / denom[..., None]
+        c_old = bm.color[slots]  # (K, 3*B^3) packed
+        c_obs = pack_color(color[vic, uic])
+        w3 = jnp.tile(w_old, (1, 3))
+        c_new = (c_old * w3 + c_obs * jnp.tile(w_obs, (1, 3))) / jnp.tile(
+            denom, (1, 3)
+        )
         new_color = bm.color.at[out_slots].set(c_new, mode="drop")
 
     return bm._replace(sdf=new_sdf, weight=new_w, color=new_color)
@@ -658,7 +680,7 @@ def sample_color_trilinear(
     frac = g - g0
     g0c = jnp.clip(g0.astype(jnp.int32), 0, n - 2)
     dir_flat = bm.directory.reshape(-1)
-    col_flat = bm.color.reshape(-1, 3)
+    col_flat = bm.color.reshape(-1)  # packed rows: slot*3*B^3 + ch*B^3 + v
     val = jnp.zeros(p_w.shape[:-1] + (3,), p_w.dtype)
     for di in (0, 1):
         for dj in (0, 1):
@@ -671,7 +693,10 @@ def sample_color_trilinear(
                 have = slot >= 0
                 slot_c = jnp.maximum(slot, 0)
                 lflat = (loc[..., 0] * b + loc[..., 1]) * b + loc[..., 2]
-                c = col_flat[slot_c * b3 + lflat]
+                base = slot_c * (3 * b3) + lflat
+                c = jnp.stack(
+                    [col_flat[base + ch * b3] for ch in range(3)], axis=-1
+                )
                 tw = (
                     (frac[..., 0] if di else 1.0 - frac[..., 0])
                     * (frac[..., 1] if dj else 1.0 - frac[..., 1])

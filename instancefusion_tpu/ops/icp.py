@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from instancefusion_tpu.config import IcpConfig
+from instancefusion_tpu.ops.common import decimate
 from instancefusion_tpu.geometry.camera import Intrinsics, project
 from instancefusion_tpu.geometry.se3 import (
     se3_exp,
@@ -241,7 +242,7 @@ def _subsample_maps(vertex_w, normal_w, valid, lvl):
     if lvl == 0:
         return vertex_w, normal_w, valid
     s = 1 << lvl
-    return vertex_w[::s, ::s], normal_w[::s, ::s], valid[::s, ::s]
+    return decimate(vertex_w, s), decimate(normal_w, s), decimate(valid, s)
 
 
 def track(
@@ -267,7 +268,7 @@ def track(
         intr_l = intr.level(lvl)
         tv, tn, tval = _subsample_maps(pred_vertex_w, pred_normal_w, pred_valid, lvl)
         if use_rgb:
-            ti = pred_intensity[:: 1 << lvl, :: 1 << lvl]
+            ti = decimate(pred_intensity, 1 << lvl)
 
         def inner_body(_, carry):
             T, _, _, q_w, n_t, a_ok = carry

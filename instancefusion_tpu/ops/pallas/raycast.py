@@ -65,9 +65,7 @@ def _splat_kernel(
     # tensor inputs: GROUP (=8) gathered payload rows per grid step
     sdf_ref,  # f32[G, 512]
     wgt_ref,  # f32[G, 512] fusion weights (vote confidence)
-    cr_ref,
-    cg_ref,
-    cb_ref,  # f32[G, 512] color planes
+    col_ref,  # f32[G, 1536] packed color rows [r | g | b] (512 lanes each)
     # outputs (full image, resident in VMEM across the grid)
     num_ref,  # f32[H, W] sum s*w*t*d
     dens_ref,  # f32[H, W] sum s*w*t (softmin-scaled vote mass)
@@ -170,9 +168,8 @@ def _splat_kernel(
             vals = [wsm, w]
             if with_color:
                 vals += [
-                    wsm * cr_ref[g : g + 1, :],
-                    wsm * cg_ref[g : g + 1, :],
-                    wsm * cb_ref[g : g + 1, :],
+                    wsm * col_ref[g : g + 1, c * 512 : (c + 1) * 512]
+                    for c in range(3)
                 ]
             lhs = jnp.concatenate(
                 [
@@ -358,17 +355,19 @@ def splat_depth_groups(
     )
 
     if color.size == 0 or not with_color:
-        color_planes = [jnp.zeros_like(sdf)] * 3
+        col_in = jnp.zeros((8, 3 * 512), jnp.float32)
+        col_spec = pl.BlockSpec((8, 3 * 512), lambda i, g, mi, mf, c: (0, 0))
         with_color = False
     else:
-        color_planes = [color[:, :, 0], color[:, :, 1], color[:, :, 2]]
+        col_in = color  # (C, 1536) packed
+        col_spec = pl.BlockSpec((8, 3 * 512), lambda i, g, mi, mf, c: (g[i], 0))
 
     grp_spec = pl.BlockSpec((8, 512), lambda i, g, mi, mf, c: (g[i], 0))
     img_spec = pl.BlockSpec((hp, wp), lambda i, g, mi, mf, c: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(kg,),
-        in_specs=[grp_spec] * 5,
+        in_specs=[grp_spec, grp_spec, col_spec],
         out_specs=[img_spec] * 6,
     )
     outs = pl.pallas_call(
@@ -381,7 +380,7 @@ def splat_depth_groups(
         ),
         interpret=interpret,
     )(gids, meta_i.reshape(-1), meta_f.reshape(-1), cam.reshape(-1),
-       sdf, weight, *color_planes)
+       sdf, weight, col_in)
     num, dens, denr, outr, outg, outb = (o[:h, :w] for o in outs)
 
     valid = (denr > _DEN_TAU) & (dens > 1e-30)
@@ -433,8 +432,10 @@ def _vote_terms(
     w = w * w * conf * vis * slot_valid[:, None]
     d_abs = jnp.clip(z + s * tsdf_cfg.trunc, 0.05, 8.0)
     sm = jnp.exp(_LAM * (_ZREF - d_abs))
+    # Packed color rows: [r | g | b] channel segments of b^3 lanes each.
+    b3 = b * b * b
     cols = (
-        [color[..., 0], color[..., 1], color[..., 2]]
+        [color[:, c * b3 : (c + 1) * b3] for c in range(3)]
         if with_color
         else [jnp.zeros_like(s)] * 3
     )
@@ -466,7 +467,7 @@ def splat_depth_ref(
     h, w_img = intr.height, intr.width
     if color.size == 0 or not with_color:
         with_color = False
-        color = jnp.zeros(sdf.shape + (3,), jnp.float32)
+        color = jnp.zeros((sdf.shape[0], 3 * sdf.shape[1]), jnp.float32)
     rows = jnp.where(slot_valid, slots, 0)
     coords = block_coords[rows]
     T_cw = se3_inverse(T_wc)
@@ -595,21 +596,18 @@ def splat_depth(
     sdf_rows = sdf[safe_slots]
     wgt_rows = weight[safe_slots]
     if color.size == 0 or not with_color:
-        color_planes = [jnp.zeros_like(sdf_rows)] * 3
+        col_rows = jnp.zeros((kp, 3 * 512), jnp.float32)
         with_color = False
     else:
-        color_planes = [
-            color[safe_slots, :, 0],
-            color[safe_slots, :, 1],
-            color[safe_slots, :, 2],
-        ]
+        col_rows = color[safe_slots]  # (KP, 1536) packed
 
     row_spec = pl.BlockSpec((g, 512), lambda i, mi, mf, c: (i, 0))
+    col_spec = pl.BlockSpec((g, 3 * 512), lambda i, mi, mf, c: (i, 0))
     img_spec = pl.BlockSpec((hp, wp), lambda i, mi, mf, c: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(kp // g,),
-        in_specs=[row_spec] * 5,
+        in_specs=[row_spec, row_spec, col_spec],
         out_specs=[img_spec] * 6,
     )
     outs = pl.pallas_call(
@@ -622,7 +620,7 @@ def splat_depth(
         ),
         interpret=interpret,
     )(meta_i.reshape(-1), meta_f.reshape(-1), cam.reshape(-1),
-       sdf_rows, wgt_rows, *color_planes)
+       sdf_rows, wgt_rows, col_rows)
     num, dens, denr, outr, outg, outb = (o[:h, :w] for o in outs)
 
     valid = (denr > _DEN_TAU) & (dens > 1e-30)

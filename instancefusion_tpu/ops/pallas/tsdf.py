@@ -26,9 +26,9 @@ _TILE = 64  # block rows per grid step (64 x 512 voxels)
 
 
 def _update_kernel(
-    sdf_ref, w_ref, cr_ref, cg_ref, cb_ref,
-    psi_ref, wobs_ref, or_ref, og_ref, ob_ref,
-    sdf_out, w_out, cr_out, cg_out, cb_out,
+    sdf_ref, w_ref, col_ref,
+    psi_ref, wobs_ref, obs_ref,
+    sdf_out, w_out, col_out,
     *, max_weight: float,
 ):
     w_old = w_ref[:]
@@ -41,35 +41,47 @@ def _update_kernel(
         w_new > 0.0, (sdf_ref[:] * w_old + psi_ref[:] * w_obs) * inv, sdf_ref[:]
     )
     w_out[:] = jnp.minimum(w_new, max_weight)
-    cr_out[:] = (cr_ref[:] * w_old + or_ref[:] * w_obs) * inv
-    cg_out[:] = (cg_ref[:] * w_old + og_ref[:] * w_obs) * inv
-    cb_out[:] = (cb_ref[:] * w_old + ob_ref[:] * w_obs) * inv
+    # Channel-segmented packed color rows: [r | g | b], B^3 lanes each.
+    b3 = sdf_ref.shape[1]
+    for c in range(3):
+        seg = slice(c * b3, (c + 1) * b3)
+        col_out[:, seg] = (
+            col_ref[:, seg] * w_old + obs_ref[:, seg] * w_obs
+        ) * inv
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11))
+@functools.partial(jax.jit, static_argnums=(6, 7))
 def fused_tsdf_update(
-    sdf, weight, cr, cg, cb,  # (K, 512) payload planes (gathered rows)
-    psi, w_obs, obs_r, obs_g, obs_b,  # (K, 512) observations
+    sdf, weight, color,  # (K, B^3) / (K, 3*B^3) payload rows (gathered)
+    psi, w_obs, obs,  # (K, B^3) / (K, 3*B^3) observations
     max_weight: float,
     interpret: bool = False,
 ):
     """Weighted running-average update, all planes in one fused pass."""
     k = sdf.shape[0]
     pad = (-k) % _TILE
-    args = [sdf, weight, cr, cg, cb, psi, w_obs, obs_r, obs_g, obs_b]
+    args = [sdf, weight, color, psi, w_obs, obs]
     if pad:
         args = [jnp.pad(a, ((0, pad), (0, 0))) for a in args]
     kp = k + pad
-    spec = pl.BlockSpec((_TILE, 512), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    b3 = sdf.shape[1]
+
+    def spec(n):
+        return pl.BlockSpec(
+            (_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
     outs = pl.pallas_call(
         functools.partial(_update_kernel, max_weight=max_weight),
         grid=(kp // _TILE,),
-        in_specs=[spec] * 10,
-        out_specs=(spec,) * 5,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((kp, 512), jnp.float32) for _ in range(5)
+        in_specs=[spec(b3), spec(b3), spec(3 * b3)] * 2,
+        out_specs=(spec(b3), spec(b3), spec(3 * b3)),
+        out_shape=(
+            jax.ShapeDtypeStruct((kp, b3), jnp.float32),
+            jax.ShapeDtypeStruct((kp, b3), jnp.float32),
+            jax.ShapeDtypeStruct((kp, 3 * b3), jnp.float32),
         ),
-        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4},
+        input_output_aliases={0: 0, 1: 1, 2: 2},
         interpret=interpret,
     )(*args)
     return tuple(o[:k] for o in outs)
@@ -87,15 +99,11 @@ def _integrate_kernel(
     cbi_ref,  # f32[HP, WP] frame color planes
     sdf_ref,  # f32[G, 512] gathered payload row group
     w_ref,
-    cr_ref,
-    cg_ref,
-    cb_ref,
+    col_ref,  # f32[G, 1536] packed color rows [r | g | b] (512 lanes each)
     # outputs: updated row groups, scattered back by the host
     sdf_out,
     w_out,
-    cr_out,
-    cg_out,
-    cb_out,
+    col_out,
     *,
     th: int,
     tw: int,
@@ -121,9 +129,7 @@ def _integrate_kernel(
     sdf_out[:] = sdf_ref[:]
     w_out[:] = w_ref[:]
     if with_color:
-        cr_out[:] = cr_ref[:]
-        cg_out[:] = cg_ref[:]
-        cb_out[:] = cb_ref[:]
+        col_out[:] = col_ref[:]
 
     r00, r01, r02, t0 = cam_ref[0], cam_ref[1], cam_ref[2], cam_ref[3]
     r10, r11, r12, t1 = cam_ref[4], cam_ref[5], cam_ref[6], cam_ref[7]
@@ -218,22 +224,15 @@ def _integrate_kernel(
             )
             w_out[g : g + 1, :] = jnp.minimum(w_new, max_weight)
             if with_color:
-                c_vox = [
-                    jnp.sum(
+                for c in range(3):
+                    c_vox = jnp.sum(
                         oh_v * m1[(2 + c) * th : (3 + c) * th],
                         axis=0, keepdims=True,
                     )
-                    for c in range(3)
-                ]
-                cr_out[g : g + 1, :] = (
-                    cr_ref[g : g + 1, :] * w_old + c_vox[0] * w_obs
-                ) * inv
-                cg_out[g : g + 1, :] = (
-                    cg_ref[g : g + 1, :] * w_old + c_vox[1] * w_obs
-                ) * inv
-                cb_out[g : g + 1, :] = (
-                    cb_ref[g : g + 1, :] * w_old + c_vox[2] * w_obs
-                ) * inv
+                    seg = slice(c * 512, (c + 1) * 512)
+                    col_out[g : g + 1, seg] = (
+                        col_ref[g : g + 1, seg] * w_old + c_vox * w_obs
+                    ) * inv
 
 
 def fused_integrate(
@@ -242,7 +241,7 @@ def fused_integrate(
     block_coords,  # i32[C, 3]
     sdf,
     weight,
-    color,  # payload planes f32[C,512] / f32[C,512,3]
+    color,  # packed payload color rows f32[C, 3*512] ([r|g|b] segments)
     depth,  # f32[H, W]
     frame_color,  # f32[H, W, 3] or None
     T_wc,
@@ -253,9 +252,9 @@ def fused_integrate(
     """TSDF integrate over a block list, association gather on the MXU.
 
     Returns (sdf_rows, w_rows, color_rows, out_slots): updated payload rows
-    (K, 512[,3]) for the caller to scatter back (valid rows only; invalid
-    entries carry out_slots == capacity so `.at[].set(mode='drop')` skips
-    them).
+    (K, 512) / packed (K, 3*512) for the caller to scatter back (valid rows
+    only; invalid entries carry out_slots == capacity so
+    `.at[].set(mode='drop')` skips them).
     """
     from instancefusion_tpu.ops.pallas.raycast import GROUP_ROWS, block_windows
 
@@ -287,10 +286,10 @@ def fused_integrate(
             jnp.zeros((hp, wp), jnp.float32).at[:h, :w_img].set(frame_color[..., c])
             for c in range(3)
         ]
-        crows = [color[safe_slots, :, c] for c in range(3)]
+        crow = color[safe_slots]  # (KP, 1536) packed
     else:
         cpads = [jnp.zeros((8, 128), jnp.float32)] * 3
-        crows = [jnp.zeros((kp, 512), jnp.float32)] * 3
+        crow = jnp.zeros((kp, 3 * 512), jnp.float32)
 
     dspec = pl.BlockSpec((hp, wp), lambda i, mi, mf, c: (0, 0))
     cspec = (
@@ -299,18 +298,23 @@ def fused_integrate(
         else pl.BlockSpec((8, 128), lambda i, mi, mf, c: (0, 0))
     )
     row_spec = pl.BlockSpec((g, 512), lambda i, mi, mf, c: (i, 0))
+    col_spec = pl.BlockSpec((g, 3 * 512), lambda i, mi, mf, c: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(kp // g,),
-        in_specs=[dspec, cspec, cspec, cspec] + [row_spec] * 5,
-        out_specs=[row_spec] * 5,
+        in_specs=[dspec, cspec, cspec, cspec, row_spec, row_spec, col_spec],
+        out_specs=[row_spec, row_spec, col_spec],
     )
     outs = pl.pallas_call(
         functools.partial(
             _integrate_kernel, th=th, tw=tw, with_color=with_color
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((kp, 512), jnp.float32)] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((kp, 512), jnp.float32),
+            jax.ShapeDtypeStruct((kp, 512), jnp.float32),
+            jax.ShapeDtypeStruct((kp, 3 * 512), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -318,12 +322,10 @@ def fused_integrate(
         interpret=interpret,
     )(
         meta_i.reshape(-1), meta_f.reshape(-1), cam.reshape(-1),
-        dpad, *cpads, sdf_in, w_in, *crows,
+        dpad, *cpads, sdf_in, w_in, crow,
     )
     sdf_rows, w_rows = outs[0][:k], outs[1][:k]
-    color_rows = (
-        jnp.stack([o[:k] for o in outs[2:5]], axis=-1) if with_color else None
-    )
+    color_rows = outs[2][:k] if with_color else None
     out_slots = jnp.where(slot_valid, slots, sdf.shape[0])  # OOB -> dropped
     return sdf_rows, w_rows, color_rows, out_slots
 
@@ -341,7 +343,7 @@ def fused_integrate_groups(
     block_coords,  # i32[C, 3]
     sdf,
     weight,
-    color,  # full payload planes f32[C,512] / f32[C,512,3]
+    color,  # full packed payload color rows f32[C, 3*512]
     depth,
     frame_color,
     T_wc,
@@ -384,15 +386,18 @@ def fused_integrate_groups(
     )
 
     dpad = jnp.zeros((hp, wp), jnp.float32).at[:h, :w_img].set(depth)
+    c_rows = sdf.shape[0]
     if with_color:
         cpads = [
             jnp.zeros((hp, wp), jnp.float32).at[:h, :w_img].set(frame_color[..., c])
             for c in range(3)
         ]
-        cplanes = [color[:, :, 0], color[:, :, 1], color[:, :, 2]]
+        col_in = color  # (C, 1536) packed, aliased in place
+        col_spec = pl.BlockSpec((8, 3 * 512), lambda i, g, mi, mf, c: (g[i], 0))
     else:
         cpads = [jnp.zeros((8, 128), jnp.float32)] * 3
-        cplanes = [jnp.zeros((sdf.shape[0], 512), jnp.float32)] * 3
+        col_in = jnp.zeros((8, 3 * 512), jnp.float32)
+        col_spec = pl.BlockSpec((8, 3 * 512), lambda i, g, mi, mf, c: (0, 0))
 
     dspec = pl.BlockSpec((hp, wp), lambda i, g, mi, mf, c: (0, 0))
     cspec = (
@@ -404,19 +409,22 @@ def fused_integrate_groups(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(kg,),
-        in_specs=[dspec, cspec, cspec, cspec] + [grp_spec] * 5,
-        out_specs=[grp_spec] * 5,
+        in_specs=[dspec, cspec, cspec, cspec, grp_spec, grp_spec, col_spec],
+        out_specs=[grp_spec, grp_spec, col_spec],
     )
-    c_rows = sdf.shape[0]
     outs = pl.pallas_call(
         functools.partial(
             _integrate_groups_kernel, th=th, tw=tw, with_color=with_color
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((c_rows, 512), jnp.float32)] * 5,
-        # Alias the 5 payload planes in place (indices count ALL operands
+        out_shape=[
+            jax.ShapeDtypeStruct((c_rows, 512), jnp.float32),
+            jax.ShapeDtypeStruct((c_rows, 512), jnp.float32),
+            jax.ShapeDtypeStruct(col_in.shape, jnp.float32),
+        ],
+        # Alias the payload planes in place (indices count ALL operands
         # including the 4 scalar-prefetch args, then depth + 3 images).
-        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4},
+        input_output_aliases={8: 0, 9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -424,12 +432,10 @@ def fused_integrate_groups(
         interpret=interpret,
     )(
         gids, meta_i.reshape(-1), meta_f.reshape(-1), cam.reshape(-1),
-        dpad, *cpads, sdf, weight, *cplanes,
+        dpad, *cpads, sdf, weight, col_in,
     )
     sdf_new, w_new = outs[0], outs[1]
-    color_new = (
-        jnp.stack(outs[2:5], axis=-1) if with_color else color
-    )
+    color_new = outs[2] if with_color else color
     return sdf_new, w_new, color_new
 
 

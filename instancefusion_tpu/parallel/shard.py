@@ -73,7 +73,7 @@ def allocate(cfg: TsdfConfig, num_shards: int, with_color: bool = True) -> Shard
         overflow=jnp.zeros((num_shards,), jnp.int32),
         sdf=jnp.full((c, b3), blk.UNOBSERVED, jnp.float32),
         weight=jnp.zeros((c, b3), jnp.float32),
-        color=jnp.zeros((c, b3 if with_color else 0, 3), jnp.float32),
+        color=jnp.zeros((c, 3 * b3 if with_color else 0), jnp.float32),
     )
 
 
@@ -174,9 +174,12 @@ def _integrate_shard(
     sdf_l = sdf_l.at[out].set(sdf_new, mode="drop")
     w_l = w_l.at[out].set(w_new, mode="drop")
     if col_l.shape[1]:
-        c_old = col_l[lslots]
-        c_obs = color[vic, uic]
-        c_new = (c_old * w_old[..., None] + c_obs * w_obs[..., None]) / denom[..., None]
+        c_old = col_l[lslots]  # (K, 3*B^3) packed
+        c_obs = blk.pack_color(color[vic, uic])
+        w3 = jnp.tile(w_old, (1, 3))
+        c_new = (c_old * w3 + c_obs * jnp.tile(w_obs, (1, 3))) / jnp.tile(
+            denom, (1, 3)
+        )
         col_l = col_l.at[out].set(c_new, mode="drop")
 
     return dir_new.reshape(directory.shape), coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l
@@ -249,10 +252,10 @@ def _halo_exchange(
         rows_sdf = jnp.where(ok[:, None], sdf_l[lslot], blk.UNOBSERVED)
         rows_w = jnp.where(ok[:, None], w_l[lslot], 0.0)
         rows_col = (
-            jnp.where(ok[:, None, None], col_l[lslot], 0.0)
+            jnp.where(ok[:, None], col_l[lslot], 0.0)
             if col_l.shape[1]
             else col_l[:halo_cap] if col_l.shape[0] >= halo_cap
-            else jnp.zeros((halo_cap, 0, 3), col_l.dtype)
+            else jnp.zeros((halo_cap, 0), col_l.dtype)
         )
         block_id = jnp.where(ok, tidx, -1)
         return block_id, rows_sdf, rows_w, rows_col
@@ -584,7 +587,7 @@ def _reshard_shard(
         send_sdf.append(sdf_l[idx_c])
         send_w.append(jnp.where(ok[:, None], w_l[idx_c], 0.0))
         if col_l.shape[1]:
-            send_col.append(jnp.where(ok[:, None, None], col_l[idx_c], 0.0))
+            send_col.append(jnp.where(ok[:, None], col_l[idx_c], 0.0))
         send_valid.append(ok)
         sent = sent.at[jnp.where(ok, idx, cl)].set(True, mode="drop")
 

@@ -171,7 +171,14 @@ def extract_mesh(volume, cfg, votes=None, with_color=False):
         col = np.asarray(volume.color)
         if col.shape[1] == 0:
             raise ValueError("map was built without color planes")
-        out.append(_slot_planes_to_dense(volume, col, cfg, np.float32(0))[vi])
+        if hasattr(volume, "directory"):
+            # Packed [r|g|b] rows (blocks.BlockMap) -> interleaved (C,B^3,3).
+            b3 = cfg.block_size**3
+            col = np.stack(
+                [col[:, c * b3:(c + 1) * b3] for c in range(3)], axis=-1
+            )
+            col = _slot_planes_to_dense(volume, col, cfg, np.float32(0))
+        out.append(col[vi])
     return tuple(out)
 
 

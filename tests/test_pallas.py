@@ -85,8 +85,10 @@ def test_fused_tsdf_update_matches_reference():
     wo = jnp.asarray((rng.random((k, 512)) > 0.5).astype(np.float32))
     o = [jnp.asarray(rng.uniform(0, 1, (k, 512)).astype(np.float32)) for _ in range(3)]
 
-    s2, w2, r2, g2, b2 = tsdf_pl.fused_tsdf_update(
-        sdf, w, *c, psi, wo, *o, 64.0, True
+    # Packed [r | g | b] channel-segmented color rows (blocks.BlockMap).
+    s2, w2, c2 = tsdf_pl.fused_tsdf_update(
+        sdf, w, jnp.concatenate(c, axis=1), psi, wo,
+        jnp.concatenate(o, axis=1), 64.0, True
     )
     denom = jnp.maximum(w + wo, 1e-6)
     sdf_ref = jnp.where(w + wo > 0, (sdf * w + psi * wo) / denom, sdf)
@@ -94,8 +96,11 @@ def test_fused_tsdf_update_matches_reference():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(w2), np.asarray(jnp.minimum(w + wo, 64.0)),
                                rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(r2), np.asarray((c[0] * w + o[0] * wo) / denom),
-                               rtol=1e-5, atol=1e-6)
+    for ch in range(3):
+        np.testing.assert_allclose(
+            np.asarray(c2[:, ch * 512 : (ch + 1) * 512]),
+            np.asarray((c[ch] * w + o[ch] * wo) / denom),
+            rtol=1e-5, atol=1e-6)
 
 
 def test_fused_label_vote_matches_boyer_moore():
