@@ -1,0 +1,45 @@
+"""Pose accuracy of the 512^3 bench configuration (synthetic orbit, TPU)."""
+import os
+import numpy as np
+import jax.numpy as jnp
+
+from instancefusion_tpu.config import (
+    EngineConfig, IcpConfig, PreprocessConfig, RaycastConfig, TsdfConfig,
+)
+from instancefusion_tpu.datasets import synthetic
+from instancefusion_tpu.engine import slam
+from instancefusion_tpu.geometry.camera import TUM_FR1
+
+grid = 512
+extent = grid * 0.0075
+cfg = EngineConfig(
+    intrinsics=TUM_FR1,
+    tsdf=TsdfConfig(
+        voxel_size=extent / grid * 2, trunc=6 * extent / grid * 2,
+        grid_size=grid, origin=(-extent, -extent, 1.2 - extent),
+        block_size=8, table_capacity=65536, touched_capacity=2048,
+        use_pallas=True,
+    ),
+    icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=True,
+                  assoc_every=(2, 2, 4)),
+    raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
+                          screen_space_normals=True, use_splat=True,
+                          predict_color=False),
+    preprocess=PreprocessConfig(use_pallas=True),
+    map_kind="blocks", use_color=True,
+)
+
+n = int(os.environ.get("N", "40"))
+poses = synthetic.orbit_trajectory(n)
+frames = [synthetic.render_frame(poses[i], cfg.intrinsics) for i in range(n)]
+state = slam.init_state(cfg, poses[0])
+errs = []
+for i in range(n):
+    state, info = slam.step_donated(cfg, state, frames[i].depth, frames[i].color)
+    T = np.asarray(state.T_wc)
+    errs.append(float(np.linalg.norm(T[:3, 3] - np.asarray(poses[i])[:3, 3])))
+errs = np.array(errs)
+print(f"trans err: mean {errs.mean()*1000:.2f} mm  max {errs.max()*1000:.2f} mm"
+      f"  n_active {int(state.volume.n_active)} overflow {int(state.volume.overflow)}")
+assert errs.max() < 0.02, "tracking drifted"
+print("OK")

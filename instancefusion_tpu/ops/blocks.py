@@ -200,8 +200,8 @@ def discover_allocate(
     T_wc: jnp.ndarray,
     intr: Intrinsics,
     cfg: TsdfConfig,
-    samples: int = 5,
-    stride: int = 3,
+    samples: int = 3,
+    stride: int = 4,
     alloc_cap: int = 4096,
 ) -> BlockMap:
     """Allocate this frame's new band blocks without any directory-sized scatter.

@@ -343,11 +343,18 @@ def track(
             ae = ae[min(idx, len(ae) - 1)]
         inner_n = max(1, min(ae, n_it))
         outer_n = -(-n_it // inner_n)
-        T, inliers, res_sum = jax.lax.fori_loop(
-            0, outer_n,
-            outer_body,
-            (T, jnp.zeros(()), jnp.zeros(())),
-        )
+        carry = (T, jnp.zeros(()), jnp.zeros(()))
+        if outer_n <= 8:
+            # Unroll short static outer loops: a While op pays a carry
+            # copy + loop bookkeeping per step (~0.2 ms/level/frame at
+            # VGA) that straight-line code does not.
+            for _ in range(outer_n):
+                carry = outer_body(0, carry)
+            T, inliers, res_sum = carry
+        else:
+            T, inliers, res_sum = jax.lax.fori_loop(
+                0, outer_n, outer_body, carry
+            )
         res_mean = res_sum / jnp.maximum(inliers, 1.0)
 
     ok = (inliers >= cfg.min_valid) & jnp.all(jnp.isfinite(T))
