@@ -34,7 +34,8 @@ cfg = EngineConfig(
     icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=True,
                   assoc_every=(2, 2, 4)),
     raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
-                          screen_space_normals=True, use_splat=True),
+                          screen_space_normals=True, use_splat=True,
+                          predict_color=False),
     preprocess=PreprocessConfig(use_pallas=True),
     map_kind="blocks", use_color=True,
 )

@@ -156,6 +156,7 @@ def step(
         intr,
         cfg.icp,
         pred_intensity=pred_intensity,
+        pred_depth=state.pred.depth,
     )
 
     # Health gate: on tracking failure, fuse nothing and keep the pose
@@ -520,6 +521,39 @@ def _motion_seed(T_wc, T_prev_wc, vel: float):
 def tsdf_integrate_count(depth: jnp.ndarray) -> jnp.ndarray:
     """Proxy metric: valid depth pixels fused this frame."""
     return jnp.sum((depth > 0).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def run_chunk(
+    cfg: EngineConfig,
+    state: SlamState,
+    depths: jnp.ndarray,  # (K, H, W)
+    colors: jnp.ndarray,  # (K, H, W, 3)
+) -> tuple[SlamState, StepInfo]:
+    """`step` over a chunk of K frames inside one jit (`lax.scan`).
+
+    Offline-log replay driver: datasets (TUM logs, ScanNet scans) are
+    processed from disk, so frames can be staged in chunks and the whole
+    track->fuse->predict chain for K frames dispatched as ONE device
+    program — per-frame host dispatch (~1 ms on this box's relay) is paid
+    once per chunk instead of once per frame.  Semantics are identical to
+    K sequential `step` calls (scan threads the state); `StepInfo` leaves
+    come back stacked (K,).  The input state is donated — rebind it.
+    """
+
+    def body(st, frame):
+        d, c = frame
+        st2, info = step.__wrapped__(cfg, st, d, c)
+        return st2, info
+
+    new_state, infos = jax.lax.scan(body, state, (depths, colors))
+    t_wc, t_pred, t_prev = jax.lax.optimization_barrier(
+        (new_state.T_wc, new_state.pred_T_wc, new_state.T_prev_wc)
+    )
+    return (
+        new_state._replace(T_wc=t_wc, pred_T_wc=t_pred, T_prev_wc=t_prev),
+        infos,
+    )
 
 
 def run_sequence(cfg: EngineConfig, frames, T_init_wc=None):

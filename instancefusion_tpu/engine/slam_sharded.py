@@ -100,6 +100,7 @@ def make_step(cfg: EngineConfig, mesh: Mesh):
             intr,
             cfg.icp,
             pred_intensity=pred_intensity,
+            pred_depth=state.pred.depth,
         )
         first = state.frame_idx == 0
         fuse_ok = result.valid | first

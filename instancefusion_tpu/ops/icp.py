@@ -55,6 +55,8 @@ def associate(
     T_tgt_cw: jnp.ndarray,  # (4,4) world->camera of the prediction view
     intr: Intrinsics,
     cfg: IcpConfig,
+    tgt_depth: jnp.ndarray | None = None,  # (Ht,Wt) predicted z-depth
+    intr_kref: tuple | None = None,  # corner-conv (fx,fy,cx,cy) of target
 ):
     """Projective data association: per source pixel, the target vertex /
     normal it corresponds to under the current pose estimate.
@@ -74,14 +76,22 @@ def associate(
     vi = jnp.round(v).astype(jnp.int32)
     in_img = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
     sel_flat = valid_src.reshape(-1) & in_img & (z > 0.0)
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    if (
+        cfg.use_pallas
+        and tgt_depth is not None
+        and jax.default_backend() == "tpu"
+    ):
         # Association gather on the MXU (factored one-hot windows) — the
         # dominant ICP cost as per-lane gathers (ops/pallas/icp.py).
+        # Gathers target depth + normals only; the target vertex is
+        # reconstructed from the depth in-kernel (see _gather_kernel).
         from instancefusion_tpu.ops.pallas.icp import gather_target_maps
 
+        if intr_kref is None:
+            intr_kref = (intr.fx, intr.fy, intr.cx, intr.cy)
         q_w, n_t, assoc_valid = gather_target_maps(
             u.reshape(h, w), v.reshape(h, w), sel_flat.reshape(h, w),
-            tgt_vertex_w, tgt_normal_w, tgt_valid,
+            tgt_depth, tgt_normal_w, se3_inverse(T_tgt_cw), intr_kref,
         )
         q_w = q_w.reshape(-1, 3)
         n_t = n_t.reshape(-1, 3)
@@ -255,6 +265,7 @@ def track(
     intr: Intrinsics,
     cfg: IcpConfig,
     pred_intensity: jnp.ndarray | None = None,
+    pred_depth: jnp.ndarray | None = None,  # full-res predicted z-depth
 ) -> TrackResult:
     """Coarse-to-fine projective ICP against the predicted model view."""
     T_pred_cw = se3_inverse(T_pred_wc)
@@ -267,8 +278,15 @@ def track(
         src = src_pyramid[lvl]
         intr_l = intr.level(lvl)
         tv, tn, tval = _subsample_maps(pred_vertex_w, pred_normal_w, pred_valid, lvl)
+        s_l = 1 << lvl
+        td = decimate(pred_depth, s_l) if pred_depth is not None else None
+        # Corner-convention intrinsics of the DECIMATED target: decimated
+        # pixel j holds full-res pixel j*s, so its true ray is
+        # K_full^-1 [j*s, i*s, 1] = ((j - cx/s) / (fx/s), ...).  Used only
+        # by the in-kernel vertex reconstruction (see associate).
+        intr_k = (intr.fx / s_l, intr.fy / s_l, intr.cx / s_l, intr.cy / s_l)
         if use_rgb:
-            ti = decimate(pred_intensity, 1 << lvl)
+            ti = decimate(pred_intensity, s_l)
 
         def inner_body(_, carry):
             T, _, _, q_w, n_t, a_ok = carry
@@ -307,6 +325,7 @@ def track(
             q_w, n_t, a_ok = associate(
                 src["vmap"], src["valid"], tv, tn, tval,
                 T, T_pred_cw, intr_l, cfg,
+                tgt_depth=td, intr_kref=intr_k,
             )
             if use_fused_inner:
                 from instancefusion_tpu.ops.pallas.icp import gn_iterations

@@ -86,7 +86,8 @@ def _kernel(px, py, pz, nx, ny, nz, qx, qy, qz, m, out_ref, acc_ref,
 
 def _gather_kernel(
     u_ref, v_ref, sel_ref,  # (8, 128) source tiles: projections + mask
-    tvx, tvy, tvz, tnx, tny, tnz, tva,  # [HP, WP] target planes (resident)
+    cam_ref,  # f32[16] SMEM: R_pred rows (9), t_pred (3), fx fy cx cy
+    td, tnx, tny, tnz,  # [HP, WP] target planes (resident): depth, normals
     ovx, ovy, ovz, onx, ony, onz, ova,  # (8, 128) gathered outputs
     *,
     hp: int,
@@ -108,28 +109,34 @@ def _gather_kernel(
     )
     rw = pl.ds(pl.multiple_of(v0, 8), thw)
     cw = pl.ds(pl.multiple_of(u0, 128), tww)
-    # ONE single-pass bf16 matmul per source row gathers all 10 planes:
-    # vertices ride as an exact hi/lo bf16 split (a one-hot contraction
-    # touches exactly one window pixel per output, so each partial product
-    # is exact and hi+lo reassembles f32 to ~2^-17 relative — micrometers
-    # at scene scale), normals/validity as plain bf16.  This replaces the
-    # previous per-row pair (3-plane f32 HIGHEST = 3 MXU passes + 4-plane
-    # bf16), which left the kernel latency-bound on many small matmuls.
-    vx_w, vy_w, vz_w = tvx[rw, cw], tvy[rw, cw], tvz[rw, cw]
-    vx_hi = vx_w.astype(jnp.bfloat16)
-    vy_hi = vy_w.astype(jnp.bfloat16)
-    vz_hi = vz_w.astype(jnp.bfloat16)
+    # ONE single-pass bf16 matmul per source row gathers 5 planes: target
+    # DEPTH as an exact hi/lo bf16 split (a one-hot contraction touches
+    # exactly one window pixel per output, so each partial product is
+    # exact and hi+lo reassembles f32 to ~2^-17 relative), normals as
+    # plain bf16.  The target VERTEX is not gathered at all: a predicted
+    # map's vertex is exactly o_pred + d * R_pred K^-1 [ur, vr, 1] (see
+    # blocks.raycast_splat / ops.raycast — vertex = origin + depth * unit-z
+    # ray), and (ur, vr) are the very coordinates this kernel rounds to,
+    # so q_w is reconstructed from the gathered depth in-register —
+    # halving the previous 10-plane matmul.  Validity needs no plane
+    # either: predicted normals are zeroed where invalid and unit-norm
+    # where valid, so |n| > 0.5 after the gather is the valid bit.
+    d_w = td[rw, cw]
+    d_hi = d_w.astype(jnp.bfloat16)
     win = jnp.concatenate(
         [
-            vx_hi.astype(jnp.float32), vy_hi.astype(jnp.float32),
-            vz_hi.astype(jnp.float32),
-            vx_w - vx_hi.astype(jnp.float32),
-            vy_w - vy_hi.astype(jnp.float32),
-            vz_w - vz_hi.astype(jnp.float32),
-            tnx[rw, cw], tny[rw, cw], tnz[rw, cw], tva[rw, cw],
+            d_hi.astype(jnp.float32),
+            d_w - d_hi.astype(jnp.float32),
+            tnx[rw, cw], tny[rw, cw], tnz[rw, cw],
         ],
         axis=0,
-    ).astype(jnp.bfloat16)  # (10*THW, TW)
+    ).astype(jnp.bfloat16)  # (5*THW, TW)
+
+    r00, r01, r02 = cam_ref[0], cam_ref[1], cam_ref[2]
+    r10, r11, r12 = cam_ref[3], cam_ref[4], cam_ref[5]
+    r20, r21, r22 = cam_ref[6], cam_ref[7], cam_ref[8]
+    t0, t1, t2 = cam_ref[9], cam_ref[10], cam_ref[11]
+    fx, fy, cx, cy = cam_ref[12], cam_ref[13], cam_ref[14], cam_ref[15]
 
     colpos = (
         jax.lax.broadcasted_iota(jnp.int32, (tww, _LANES), 0).astype(jnp.float32)
@@ -150,32 +157,46 @@ def _gather_kernel(
         m1 = jax.lax.dot_general(
             win, oh_u, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (10*THW, 128)
-        for c in range(3):
-            hi = jnp.sum(oh_v * m1[c * thw : (c + 1) * thw], axis=0)
-            lo = jnp.sum(oh_v * m1[(3 + c) * thw : (4 + c) * thw], axis=0)
-            outs[c][r, :] = hi + lo
-        for c in range(4):
-            outs[3 + c][r, :] = jnp.sum(
-                oh_v * m1[(6 + c) * thw : (7 + c) * thw], axis=0
-            )
+        )  # (5*THW, 128)
+        d = (
+            jnp.sum(oh_v * m1[0:thw], axis=0)
+            + jnp.sum(oh_v * m1[thw : 2 * thw], axis=0)
+        )  # (128,)
+        nx = jnp.sum(oh_v * m1[2 * thw : 3 * thw], axis=0)
+        ny = jnp.sum(oh_v * m1[3 * thw : 4 * thw], axis=0)
+        nz = jnp.sum(oh_v * m1[4 * thw : 5 * thw], axis=0)
+        # Reconstruct q_w from the gathered depth at the rounded pixel.
+        ur = jnp.round(u_row[0, :])
+        vr = jnp.round(v_row[0, :])
+        xc = (ur - cx) / fx * d
+        yc = (vr - cy) / fy * d
+        ok = (d > 0.0) & (nx * nx + ny * ny + nz * nz > 0.25)
+        okf = jnp.where(ok, 1.0, 0.0)
+        outs[0][r, :] = (r00 * xc + r01 * yc + r02 * d + t0) * okf
+        outs[1][r, :] = (r10 * xc + r11 * yc + r12 * d + t1) * okf
+        outs[2][r, :] = (r20 * xc + r21 * yc + r22 * d + t2) * okf
+        outs[3][r, :] = nx
+        outs[4][r, :] = ny
+        outs[5][r, :] = nz
+        outs[6][r, :] = okf
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
+@functools.partial(jax.jit, static_argnums=(7,))
 def gather_target_maps(
     u: jnp.ndarray,  # (H, W) projected column of each source pixel
     v: jnp.ndarray,  # (H, W) projected row
     sel: jnp.ndarray,  # (H, W) bool — source pixels worth gathering for
-    tgt_vertex: jnp.ndarray,  # (H, W, 3)
-    tgt_normal: jnp.ndarray,  # (H, W, 3)
-    tgt_valid: jnp.ndarray,  # (H, W) bool
+    tgt_depth: jnp.ndarray,  # (H, W) predicted z-depth (0 where invalid)
+    tgt_normal: jnp.ndarray,  # (H, W, 3) zeroed where invalid
+    T_tgt_wc: jnp.ndarray,  # (4, 4) camera-to-world of the prediction view
+    intr_kref,  # (fx, fy, cx, cy) floats of the TARGET view resolution
     interpret: bool = False,
 ):
     """Nearest-pixel gather of target maps at (v, u), MXU-factored.
 
     Returns (q_w (H,W,3), n_t (H,W,3), assoc_valid (H,W) bool); pixels
-    with sel=False, off-image projections, or projections outside their
-    tile's search window come back invalid.
+    with sel=False, off-image projections, projections outside their
+    tile's search window, or invalid target pixels come back invalid.
     """
     h, w = u.shape
     hp = -(-h // 8) * 8
@@ -191,16 +212,24 @@ def gather_target_maps(
     up = pad(u, -1e9)
     vp = pad(v, -1e9)
     selp = pad(sel.astype(jnp.float32))
-    planes = [pad(tgt_vertex[..., c]) for c in range(3)]
+    planes = [pad(tgt_depth)]
     planes += [pad(tgt_normal[..., c]) for c in range(3)]
-    planes += [pad(tgt_valid.astype(jnp.float32))]
+    fx, fy, cx, cy = intr_kref
+    cam = jnp.concatenate(
+        [
+            T_tgt_wc[:3, :3].reshape(-1),
+            T_tgt_wc[:3, 3],
+            jnp.array([fx, fy, cx, cy], jnp.float32),
+        ]
+    ).astype(jnp.float32)
 
     tile = pl.BlockSpec((8, _LANES), lambda i, j: (i, j))
+    crow = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec((hp, wp), lambda i, j: (0, 0))
     outs = pl.pallas_call(
         functools.partial(_gather_kernel, hp=hp, wp=wp, thw=thw, tww=tww),
         grid=(hp // 8, wp // _LANES),
-        in_specs=[tile, tile, tile] + [full] * 7,
+        in_specs=[tile, tile, tile, crow] + [full] * 4,
         out_specs=[tile] * 7,
         out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 7,
         compiler_params=pltpu.CompilerParams(
@@ -208,7 +237,7 @@ def gather_target_maps(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(up, vp, selp, *planes)
+    )(up, vp, selp, cam, *planes)
     q_w = jnp.stack([o[:h, :w] for o in outs[0:3]], axis=-1)
     n_t = jnp.stack([o[:h, :w] for o in outs[3:6]], axis=-1)
     valid = (outs[6][:h, :w] > 0.5) & sel

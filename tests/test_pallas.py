@@ -226,17 +226,32 @@ def test_fused_integrate_matches_jnp():
 
 
 def test_gather_target_maps_matches_flat_gather():
-    """The MXU-factored association gather == the flat per-lane gather for
-    in-window pixels: vertices exactly (HIGHEST one-hot pass-through),
-    normals to bf16 tolerance, validity equal."""
+    """The MXU-factored association gather == flat per-lane gather + vertex
+    reconstruction: the kernel gathers target DEPTH (exact hi/lo bf16
+    split) and normals, reconstructs q_w = o + d * R K^-1 [ur, vr, 1], and
+    derives validity from the gathered normal magnitude."""
+    from instancefusion_tpu.geometry.se3 import se3_exp
+
     rng = np.random.RandomState(0)
     h, w = 48, 160
-    tgt_v = jnp.asarray(rng.randn(h, w, 3).astype(np.float32))
-    tgt_n = jnp.asarray(rng.randn(h, w, 3).astype(np.float32))
-    tgt_ok = jnp.asarray(rng.rand(h, w) > 0.3)
+    fx = fy = 100.0
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    T_wc = se3_exp(jnp.asarray([0.1, -0.2, 0.05, 0.04, -0.03, 0.02]))
+    tgt_ok = rng.rand(h, w) > 0.3
+    tgt_d = (rng.uniform(0.5, 3.0, (h, w)) * tgt_ok).astype(np.float32)
+    tgt_n = rng.randn(h, w, 3).astype(np.float32)
+    tgt_n /= np.linalg.norm(tgt_n, axis=-1, keepdims=True)
+    tgt_n *= tgt_ok[..., None]
+    # The predicted-map invariant the kernel relies on:
+    # vertex(i, j) = o + d(i, j) * R @ K^-1 [j, i, 1].
+    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dirs = np.stack([(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu)], -1)
+    R = np.asarray(T_wc)[:3, :3]
+    o = np.asarray(T_wc)[:3, 3]
+    tgt_v = o + tgt_d[..., None] * (dirs @ R.T)
+
     # Projections: smooth small offsets off the identity grid (same-image
     # association), plus some off-image and some invalid pixels.
-    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     u = jnp.asarray(uu + rng.uniform(-3, 3, (h, w)).astype(np.float32))
     v = jnp.asarray(vv + rng.uniform(-3, 3, (h, w)).astype(np.float32))
     sel = jnp.asarray(rng.rand(h, w) > 0.1)
@@ -244,24 +259,25 @@ def test_gather_target_maps_matches_flat_gather():
              (jnp.round(v) >= 0) & (jnp.round(v) < h)
     sel = sel & in_img
 
-    q, n, ok = icp_pl.gather_target_maps(u, v, sel, tgt_v, tgt_n, tgt_ok,
-                                         interpret=True)
+    q, n, ok = icp_pl.gather_target_maps(
+        u, v, sel, jnp.asarray(tgt_d), jnp.asarray(tgt_n), T_wc,
+        (fx, fy, cx, cy), interpret=True,
+    )
 
     ui = np.clip(np.round(np.asarray(u)).astype(int), 0, w - 1)
     vi = np.clip(np.round(np.asarray(v)).astype(int), 0, h - 1)
     q_ref = np.asarray(tgt_v)[vi, ui]
     n_ref = np.asarray(tgt_n)[vi, ui]
-    ok_ref = np.asarray(tgt_ok)[vi, ui] & np.asarray(sel)
+    ok_ref = tgt_ok[vi, ui] & np.asarray(sel)
 
     okn = np.asarray(ok)
     # Kernel validity is conservative (window-dropped pixels invalid) but
     # with +/-3 px offsets everything fits: sets must match.
     np.testing.assert_array_equal(okn, ok_ref)
-    # Vertices travel as an exact hi/lo bf16 split through the one-hot
-    # contraction: reassembly is within ~2^-17 relative (micrometers at
-    # scene scale), not bit-exact f32.
+    # Depth travels as an exact hi/lo bf16 split through the one-hot
+    # contraction (~2^-17 relative); the reconstruction is plain f32 math.
     np.testing.assert_allclose(
-        np.asarray(q)[okn], q_ref[okn], rtol=1e-5, atol=2e-5
+        np.asarray(q)[okn], q_ref[okn], rtol=1e-4, atol=1e-4
     )
     np.testing.assert_allclose(np.asarray(n)[okn], n_ref[okn], atol=2e-2)
 
