@@ -112,6 +112,7 @@ def main() -> None:
         preprocess=PreprocessConfig(use_pallas=use_pallas),
         map_kind=map_kind,
         use_color=True,
+        color_every=int(os.environ.get("BENCH_COLOR_EVERY", "4")),
     )
 
     poses = synthetic.orbit_trajectory(nframes + warmup)

@@ -158,6 +158,12 @@ class EngineConfig:
     instances: InstanceConfig = InstanceConfig()
     posegraph: PoseGraphConfig = PoseGraphConfig()
     use_color: bool = True
+    # Fuse frame color into the map every k-th frame only (1 = every
+    # frame, the reference behavior).  Color converges to the same
+    # weighted average from a subsampled frame stream; skipping it drops
+    # 3 of the fused integrate kernel's 5 one-hot channels on off frames
+    # (~0.5 ms/frame at 512^3).  Applies to the block-map splat fast path.
+    color_every: int = 1
     use_instances: bool = False
     # Maintain a per-block last-fused frame stamp (i32[capacity] in the
     # engine state) — enables active/inactive local loop closure

@@ -210,10 +210,26 @@ def step(
                 volume, T_new, intr, cfg.tsdf,
                 cfg.raycast.near, cfg.raycast.far, kg,
             )
-            volume = blocks.integrate_groups(
-                volume, gids, row_valid, depth_masked, frame_color, T_new,
-                intr, cfg.tsdf,
-            )
+            if frame_color is not None and cfg.color_every > 1:
+                # Color cadence: both branches compile once; the taken
+                # branch runs 2-channel (depth-only) on off frames.
+                volume = jax.lax.cond(
+                    state.frame_idx % cfg.color_every == 0,
+                    lambda vol: blocks.integrate_groups(
+                        vol, gids, row_valid, depth_masked, frame_color,
+                        T_new, intr, cfg.tsdf,
+                    ),
+                    lambda vol: blocks.integrate_groups(
+                        vol, gids, row_valid, depth_masked, None,
+                        T_new, intr, cfg.tsdf,
+                    ),
+                    volume,
+                )
+            else:
+                volume = blocks.integrate_groups(
+                    volume, gids, row_valid, depth_masked, frame_color,
+                    T_new, intr, cfg.tsdf,
+                )
             pred = blocks.raycast_splat_groups(
                 volume, T_new, intr, cfg.tsdf, gids, row_valid,
                 with_color=pred_color,
