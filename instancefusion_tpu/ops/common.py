@@ -13,7 +13,7 @@ def _sel_matrix(n: int, s: int) -> jnp.ndarray:
     return (c == r * s).astype(jnp.float32)
 
 
-def decimate(arr, s: int):
+def decimate(arr, s: int, force_matmul: bool = False):
     """`arr[::s, ::s]` over the two leading axes, cropped to full windows.
 
     XLA lowers stride-s slices on TPU to dynamic gathers with bitpacked
@@ -24,13 +24,16 @@ def decimate(arr, s: int):
     one element, so no accumulation error), which is ~20x faster and
     leaves results in canonical layout.  Trailing rows/cols that don't
     fill a full stride window are cropped (floor-division shapes).
+
+    `force_matmul` runs the contraction path on any backend so CPU tests
+    cover the TPU math.
     """
     if s == 1:
         return arr
     h, w = arr.shape[:2]
     rest = arr.shape[2:]
     hs, ws = h // s, w // s
-    if jax.default_backend() != "tpu":
+    if not force_matmul and jax.default_backend() != "tpu":
         arr = arr[: hs * s, : ws * s]
         return arr.reshape((hs, s, ws, s) + rest)[:, 0, :, 0]
     dt = arr.dtype
