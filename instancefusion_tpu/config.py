@@ -136,6 +136,22 @@ class PoseGraphConfig:
     loop_dist_thresh: float = 0.08  # descriptor distance for loop candidates
     ba_iters: int = 8
     huber_delta: float = 0.05
+    # Landmark (loop-closure) bundle adjustment — the BASELINE-mandated
+    # "loop-closure bundle adjustment as a distributed Schur-complement
+    # reduction".  Each verified loop samples `landmarks_per_loop` points
+    # from the loop keyframe pair (engine/posegraph.build_loop_landmarks)
+    # into a fixed-capacity bank; graph corrections then run the joint
+    # pose-graph + landmark Schur solve (ops/ba.optimize_hybrid_paired)
+    # instead of pose-graph GN alone.
+    use_landmark_ba: bool = True
+    landmarks_per_loop: int = 192
+    max_landmarks: int = 2048  # bank capacity; landmarks beyond are dropped
+    # Per-observation weight vs graph edges.  A verified loop contributes
+    # ~100+ 3-vector landmark residuals vs one 6-vector edge at weight 10
+    # (w^2 in the quadratic form); 5.0 makes the raw re-measurement of the
+    # loop-pair geometry dominate the single ICP-derived rigid edge, which
+    # then mainly serves connectivity/fallback.
+    landmark_weight: float = 5.0
     # Local (active/inactive) loop closure — the reference registers the
     # active model against the inactive model every frame (ElasticFusion's
     # time-windowed local loops; SURVEY.md §3 "Local loop closure").  The
@@ -159,10 +175,15 @@ class EngineConfig:
     posegraph: PoseGraphConfig = PoseGraphConfig()
     use_color: bool = True
     # Fuse frame color into the map every k-th frame only (1 = every
-    # frame, the reference behavior).  Color converges to the same
-    # weighted average from a subsampled frame stream; skipping it drops
-    # 3 of the fused integrate kernel's 5 one-hot channels on off frames
-    # (~0.5 ms/frame at 512^3).  Applies to the block-map splat fast path.
+    # frame, the reference behavior).  On-frames scale the color sample by
+    # the cadence (color_gain) so the depth-inflated fusion weight does
+    # not bias the color average — the EMA keeps the every-frame time
+    # constant; the only residual bias is a voxel's FIRST color sample
+    # landing at gain/(w_old+gain) of its value (see
+    # ops/pallas/tsdf._update_kernel).  Skipping color drops 3 of the
+    # fused integrate kernel's 5 one-hot channels on off frames
+    # (~0.5 ms/frame at 512^3).  Applies to the block-map splat fast path
+    # (both `step` and `step_gt`).
     color_every: int = 1
     use_instances: bool = False
     # Maintain a per-block last-fused frame stamp (i32[capacity] in the

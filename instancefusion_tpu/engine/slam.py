@@ -212,12 +212,19 @@ def step(
             )
             if frame_color is not None and cfg.color_every > 1:
                 # Color cadence: both branches compile once; the taken
-                # branch runs 2-channel (depth-only) on off frames.
+                # branch runs 2-channel (depth-only) on off frames.  On
+                # frames scale the color observation by the cadence
+                # (color_gain) so off-frame depth fusion does not inflate
+                # the color-average denominator — the color EMA keeps the
+                # every-frame time constant (residual bias: only a voxel's
+                # FIRST color sample lands under-weighted; see
+                # ops/pallas/tsdf._update_kernel).
                 volume = jax.lax.cond(
                     state.frame_idx % cfg.color_every == 0,
                     lambda vol: blocks.integrate_groups(
                         vol, gids, row_valid, depth_masked, frame_color,
                         T_new, intr, cfg.tsdf,
+                        color_gain=float(cfg.color_every),
                     ),
                     lambda vol: blocks.integrate_groups(
                         vol, gids, row_valid, depth_masked, None,
@@ -245,10 +252,26 @@ def step(
                 volume, T_new, intr, cfg.tsdf,
                 cfg.raycast.near, cfg.raycast.far, k,
             )
-            volume = blocks.integrate_slots(
-                volume, slots, slot_valid, depth_masked, frame_color, T_new,
-                intr, cfg.tsdf,
-            )
+            if frame_color is not None and cfg.color_every > 1:
+                # Same cadence + gain as the group-kernel branch above.
+                volume = jax.lax.cond(
+                    state.frame_idx % cfg.color_every == 0,
+                    lambda vol: blocks.integrate_slots(
+                        vol, slots, slot_valid, depth_masked, frame_color,
+                        T_new, intr, cfg.tsdf,
+                        color_gain=float(cfg.color_every),
+                    ),
+                    lambda vol: blocks.integrate_slots(
+                        vol, slots, slot_valid, depth_masked, None,
+                        T_new, intr, cfg.tsdf,
+                    ),
+                    volume,
+                )
+            else:
+                volume = blocks.integrate_slots(
+                    volume, slots, slot_valid, depth_masked, frame_color,
+                    T_new, intr, cfg.tsdf,
+                )
             pred = blocks.raycast_splat(
                 volume, T_new, intr, cfg.tsdf, slots, slot_valid,
                 with_color=pred_color,
@@ -344,9 +367,25 @@ def step_gt(
                 volume, T_new, intr, cfg.tsdf,
                 cfg.raycast.near, cfg.raycast.far, kg,
             )
-            volume = blocks.integrate_groups(
-                volume, gids, row_valid, d0, frame_color, T_new, intr, cfg.tsdf
-            )
+            if frame_color is not None and cfg.color_every > 1:
+                # Same color cadence + gain as `step` (the GT path must
+                # produce identical map contents under a cadenced config).
+                volume = jax.lax.cond(
+                    state.frame_idx % cfg.color_every == 0,
+                    lambda vol: blocks.integrate_groups(
+                        vol, gids, row_valid, d0, frame_color, T_new, intr,
+                        cfg.tsdf, color_gain=float(cfg.color_every),
+                    ),
+                    lambda vol: blocks.integrate_groups(
+                        vol, gids, row_valid, d0, None, T_new, intr, cfg.tsdf,
+                    ),
+                    volume,
+                )
+            else:
+                volume = blocks.integrate_groups(
+                    volume, gids, row_valid, d0, frame_color, T_new, intr,
+                    cfg.tsdf,
+                )
             pred = blocks.raycast_splat_groups(
                 volume, T_new, intr, cfg.tsdf, gids, row_valid,
                 with_color=pred_color, depth_prior=prior,
@@ -359,9 +398,24 @@ def step_gt(
                 volume, T_new, intr, cfg.tsdf,
                 cfg.raycast.near, cfg.raycast.far, k,
             )
-            volume = blocks.integrate_slots(
-                volume, slots, slot_valid, d0, frame_color, T_new, intr, cfg.tsdf
-            )
+            if frame_color is not None and cfg.color_every > 1:
+                volume = jax.lax.cond(
+                    state.frame_idx % cfg.color_every == 0,
+                    lambda vol: blocks.integrate_slots(
+                        vol, slots, slot_valid, d0, frame_color, T_new, intr,
+                        cfg.tsdf, color_gain=float(cfg.color_every),
+                    ),
+                    lambda vol: blocks.integrate_slots(
+                        vol, slots, slot_valid, d0, None, T_new, intr,
+                        cfg.tsdf,
+                    ),
+                    volume,
+                )
+            else:
+                volume = blocks.integrate_slots(
+                    volume, slots, slot_valid, d0, frame_color, T_new, intr,
+                    cfg.tsdf,
+                )
             pred = blocks.raycast_splat(
                 volume, T_new, intr, cfg.tsdf, slots, slot_valid,
                 with_color=pred_color,

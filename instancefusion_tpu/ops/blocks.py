@@ -264,6 +264,9 @@ def discover_allocate(
     srt = jnp.sort(flat_all)
     prev_s = jnp.concatenate([jnp.full((1,), -2, jnp.int32), srt[:-1]])
     first = (srt >= 0) & (srt != prev_s)
+    # Small cameras can produce fewer candidate samples than alloc_cap;
+    # top_k requires k <= n.
+    alloc_cap = min(alloc_cap, flat_all.shape[0])
     top, _ = jax.lax.top_k(jnp.where(first, srt, -1), alloc_cap)
     have = bm.directory.reshape(-1)[jnp.maximum(top, 0)] >= 0
     uniq = (top >= 0) & jnp.logical_not(have)
@@ -484,6 +487,7 @@ def integrate_slots(
     T_wc: jnp.ndarray,
     intr: Intrinsics,
     cfg: TsdfConfig,
+    color_gain: float = 1.0,
 ) -> BlockMap:
     """Fuse one frame into an explicit (already compacted) block list.
 
@@ -501,7 +505,7 @@ def integrate_slots(
         frame_color = color if (color is not None and bm.color.size) else None
         sdf_rows, w_rows, color_rows, out_slots = fused_integrate(
             slots, valid, bm.block_coords, bm.sdf, bm.weight, bm.color,
-            depth, frame_color, T_wc, intr, cfg,
+            depth, frame_color, T_wc, intr, cfg, color_gain=color_gain,
         )
         new = bm._replace(
             sdf=bm.sdf.at[out_slots].set(sdf_rows, mode="drop"),
@@ -553,7 +557,7 @@ def integrate_slots(
         c_obs = pack_color(color[vic, uic])
         sdf_new, w_new, c_new = fused_tsdf_update(
             sdf_old, w_old, c_old, psi, w_obs, c_obs,
-            cfg.max_weight, interpret=jax.default_backend() != "tpu")
+            cfg.max_weight, jax.default_backend() != "tpu", color_gain)
         return bm._replace(
             sdf=bm.sdf.at[out_slots].set(sdf_new, mode="drop"),
             weight=bm.weight.at[out_slots].set(w_new, mode="drop"),
@@ -574,12 +578,13 @@ def integrate_slots(
 
     new_color = bm.color
     if has_color:
+        # color_gain: color-cadence compensation (EngineConfig.color_every)
+        # — see ops/pallas/tsdf._update_kernel for the derivation.
         c_old = bm.color[slots]  # (K, 3*B^3) packed
         c_obs = pack_color(color[vic, uic])
         w3 = jnp.tile(w_old, (1, 3))
-        c_new = (c_old * w3 + c_obs * jnp.tile(w_obs, (1, 3))) / jnp.tile(
-            denom, (1, 3)
-        )
+        wc3 = jnp.tile(color_gain * w_obs, (1, 3))
+        c_new = (c_old * w3 + c_obs * wc3) / jnp.maximum(w3 + wc3, 1e-6)
         new_color = bm.color.at[out_slots].set(c_new, mode="drop")
 
     return bm._replace(sdf=new_sdf, weight=new_w, color=new_color)
@@ -594,6 +599,7 @@ def integrate_groups(
     T_wc: jnp.ndarray,
     intr: Intrinsics,
     cfg: TsdfConfig,
+    color_gain: float = 1.0,
 ) -> BlockMap:
     """Group-addressed fuse: payload planes updated IN PLACE (TPU path).
 
@@ -607,12 +613,13 @@ def integrate_groups(
         frame_color = color if (color is not None and bm.color.size) else None
         sdf, w, col = fused_integrate_groups(
             gids, row_valid, bm.block_coords, bm.sdf, bm.weight, bm.color,
-            depth, frame_color, T_wc, intr, cfg,
+            depth, frame_color, T_wc, intr, cfg, color_gain=color_gain,
         )
         return bm._replace(sdf=sdf, weight=w, color=col)
     slots = (gids[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]).reshape(-1)
     return integrate_slots(
-        bm, slots, row_valid.reshape(-1), depth, color, T_wc, intr, cfg
+        bm, slots, row_valid.reshape(-1), depth, color, T_wc, intr, cfg,
+        color_gain=color_gain,
     )
 
 

@@ -29,7 +29,7 @@ def _update_kernel(
     sdf_ref, w_ref, col_ref,
     psi_ref, wobs_ref, obs_ref,
     sdf_out, w_out, col_out,
-    *, max_weight: float,
+    *, max_weight: float, color_gain: float = 1.0,
 ):
     w_old = w_ref[:]
     w_obs = wobs_ref[:]
@@ -42,20 +42,28 @@ def _update_kernel(
     )
     w_out[:] = jnp.minimum(w_new, max_weight)
     # Channel-segmented packed color rows: [r | g | b], B^3 lanes each.
+    # color_gain compensates a color cadence (EngineConfig.color_every):
+    # off-frames inflate the shared fusion weight without a color sample,
+    # so the on-frame blend scales the observation by the cadence — the
+    # color EMA keeps the every-frame time constant.  Residual bias: the
+    # FIRST color sample of a voxel that saw g_off depth-only frames lands
+    # at gain/(w_old+gain) of its value, decaying at the normal EMA rate.
+    inv_c = 1.0 / jnp.maximum(w_old + color_gain * w_obs, 1e-6)
     b3 = sdf_ref.shape[1]
     for c in range(3):
         seg = slice(c * b3, (c + 1) * b3)
         col_out[:, seg] = (
-            col_ref[:, seg] * w_old + obs_ref[:, seg] * w_obs
-        ) * inv
+            col_ref[:, seg] * w_old + obs_ref[:, seg] * (color_gain * w_obs)
+        ) * inv_c
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def fused_tsdf_update(
     sdf, weight, color,  # (K, B^3) / (K, 3*B^3) payload rows (gathered)
     psi, w_obs, obs,  # (K, B^3) / (K, 3*B^3) observations
     max_weight: float,
     interpret: bool = False,
+    color_gain: float = 1.0,
 ):
     """Weighted running-average update, all planes in one fused pass."""
     k = sdf.shape[0]
@@ -72,7 +80,9 @@ def fused_tsdf_update(
         )
 
     outs = pl.pallas_call(
-        functools.partial(_update_kernel, max_weight=max_weight),
+        functools.partial(
+            _update_kernel, max_weight=max_weight, color_gain=color_gain
+        ),
         grid=(kp // _TILE,),
         in_specs=[spec(b3), spec(b3), spec(3 * b3)] * 2,
         out_specs=(spec(b3), spec(b3), spec(3 * b3)),
@@ -108,6 +118,7 @@ def _integrate_kernel(
     th: int,
     tw: int,
     with_color: bool,
+    color_gain: float = 1.0,
 ):
     """Projective TSDF update with the association gather done as matmuls.
 
@@ -224,6 +235,8 @@ def _integrate_kernel(
             )
             w_out[g : g + 1, :] = jnp.minimum(w_new, max_weight)
             if with_color:
+                # color_gain: cadence compensation — see _update_kernel.
+                inv_c = 1.0 / jnp.maximum(w_old + color_gain * w_obs, 1e-6)
                 for c in range(3):
                     c_vox = jnp.sum(
                         oh_v * m1[(2 + c) * th : (3 + c) * th],
@@ -231,8 +244,9 @@ def _integrate_kernel(
                     )
                     seg = slice(c * 512, (c + 1) * 512)
                     col_out[g : g + 1, seg] = (
-                        col_ref[g : g + 1, seg] * w_old + c_vox * w_obs
-                    ) * inv
+                        col_ref[g : g + 1, seg] * w_old
+                        + c_vox * (color_gain * w_obs)
+                    ) * inv_c
 
 
 def fused_integrate(
@@ -248,6 +262,7 @@ def fused_integrate(
     intr,
     tsdf_cfg,
     interpret: bool = False,
+    color_gain: float = 1.0,
 ):
     """TSDF integrate over a block list, association gather on the MXU.
 
@@ -307,7 +322,8 @@ def fused_integrate(
     )
     outs = pl.pallas_call(
         functools.partial(
-            _integrate_kernel, th=th, tw=tw, with_color=with_color
+            _integrate_kernel, th=th, tw=tw, with_color=with_color,
+            color_gain=color_gain,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -350,6 +366,7 @@ def fused_integrate_groups(
     intr,
     tsdf_cfg,
     interpret: bool = False,
+    color_gain: float = 1.0,
 ):
     """TSDF integrate addressed by payload row GROUPS, updated IN PLACE.
 
@@ -414,7 +431,8 @@ def fused_integrate_groups(
     )
     outs = pl.pallas_call(
         functools.partial(
-            _integrate_groups_kernel, th=th, tw=tw, with_color=with_color
+            _integrate_groups_kernel, th=th, tw=tw, with_color=with_color,
+            color_gain=color_gain,
         ),
         grid_spec=grid_spec,
         out_shape=[

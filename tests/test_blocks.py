@@ -251,3 +251,28 @@ def test_clean_reclaims_carved_empty_blocks():
     coords = np.asarray(bm.block_coords[target])
     assert int(after.directory[coords[0], coords[1], coords[2]]) == -1
     assert int(before.directory[coords[0], coords[1], coords[2]]) >= 0
+
+
+def test_discover_allocate_small_camera():
+    """Regression: alloc_cap > #candidate samples must not crash top_k.
+
+    A small camera (here 40x30 at stride 4, 3 band samples -> 240
+    candidates) used to hit ``ValueError: k must be no larger than size``
+    in ``discover_allocate`` (round-3 regression); the cap is clamped to
+    the candidate count now.
+    """
+    from instancefusion_tpu.geometry.camera import Intrinsics
+
+    tiny_intr = Intrinsics(fx=30.0, fy=30.0, cx=20.0, cy=15.0, width=40, height=30)
+    f = synthetic.render_frame(synthetic.orbit_trajectory(3)[1], tiny_intr)
+    bm = blocks.allocate(CFG)
+    bm = blocks.discover_allocate(
+        bm, f.depth, f.T_wc, tiny_intr, CFG, samples=3, stride=4, alloc_cap=4096
+    )
+    assert int(bm.n_active) > 0
+    assert int(bm.overflow) == 0
+    # Idempotent: a second pass discovers nothing new.
+    bm2 = blocks.discover_allocate(
+        bm, f.depth, f.T_wc, tiny_intr, CFG, samples=3, stride=4, alloc_cap=4096
+    )
+    assert int(bm2.n_active) == int(bm.n_active)
