@@ -47,6 +47,26 @@ class PipelineResult:
     backend: Any
 
 
+def _optimize_after_loop(backend, cfg, kf_a, kf_b, T_rel, ba_terms_fn=None):
+    """Graph correction after a verified loop (kf_a, kf_b, T_rel).
+
+    With `use_landmark_ba` (the default) this first samples paired
+    landmark observations across the loop pair into the backend bank
+    (pg.build_loop_landmarks — the BAObservations producer of SURVEY.md
+    §4.6) and runs the joint pose-graph + landmark Schur solve;
+    `ba_terms_fn` injects the psum-sharded reducer on a mesh.  Otherwise
+    it runs pose-graph GN alone.
+    """
+    pgc = cfg.posegraph
+    if pgc.use_landmark_ba:
+        pts, obs = pg.build_loop_landmarks(
+            backend, kf_a, kf_b, T_rel, cfg.intrinsics, cfg
+        )
+        backend = pg.add_loop_landmarks(backend, pts, obs)
+        return pg.optimize_landmark(backend, pgc, ba_terms_fn)
+    return pg.optimize(backend, pgc)
+
+
 def run(
     cfg: EngineConfig,
     frames: Iterable,
@@ -261,7 +281,9 @@ def run(
                                 backend, anchor, kf_cur, T_rel
                             )
                             T_before = backend.kf.poses[kf_cur]
-                            backend, _ = pg.optimize(backend, pgc)
+                            backend, _ = _optimize_after_loop(
+                                backend, cfg, anchor, kf_cur, T_rel
+                            )
                             corr = jnp.matmul(
                                 backend.kf.poses[kf_cur],
                                 se3_inverse(T_before), precision=_PREC,
@@ -324,7 +346,9 @@ def run(
                         kf_cur = backend.kf.count - 1
                         backend = pg.add_loop_edge(backend, cand, kf_cur, T_rel)
                         T_before = backend.kf.poses[kf_cur]
-                        backend, cost = pg.optimize(backend, pgc)
+                        backend, cost = _optimize_after_loop(
+                            backend, cfg, cand, kf_cur, T_rel
+                        )
                         # Re-anchor the MAP: the engine state (map frame)
                         # is untouched — no pose jump against the fused
                         # geometry, no smear; only world-from-map moves.

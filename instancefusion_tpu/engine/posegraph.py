@@ -44,6 +44,13 @@ class BackendState(NamedTuple):
     n_edges: jnp.ndarray  # () i32
     coder: ferns.FernCoder
     n_loops: jnp.ndarray  # () i32
+    # Landmark bank for loop-closure BA (PoseGraphConfig.use_landmark_ba):
+    # fixed-capacity paired observations (ops/ba.PairedObs) + world points,
+    # appended per verified loop, consumed by `optimize_landmark`.
+    points: jnp.ndarray = None  # f32[Lcap, 3]
+    lm: ba.PairedObs = None
+    n_points: jnp.ndarray = None  # () i32
+    lm_dropped: jnp.ndarray = None  # () i32 — landmarks beyond capacity
 
 
 def allocate(cfg: EngineConfig, decim: int = 4, seed: int = 0) -> BackendState:
@@ -67,6 +74,10 @@ def allocate(cfg: EngineConfig, decim: int = 4, seed: int = 0) -> BackendState:
         n_edges=jnp.zeros((), jnp.int32),
         coder=coder,
         n_loops=jnp.zeros((), jnp.int32),
+        points=jnp.zeros((pg.max_landmarks, 3), jnp.float32),
+        lm=ba.empty_paired_obs(pg.max_landmarks),
+        n_points=jnp.zeros((), jnp.int32),
+        lm_dropped=jnp.zeros((), jnp.int32),
     )
 
 
@@ -203,6 +214,120 @@ def add_loop_edge(
     return bs._replace(graph=graph, n_edges=n_edges, n_loops=bs.n_loops + 1)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def build_loop_landmarks(
+    bs: BackendState,
+    kf_i: jnp.ndarray,  # () i32 — loop candidate (older keyframe)
+    kf_j: jnp.ndarray,  # () i32 — current keyframe
+    T_rel: jnp.ndarray,  # (4,4) verified T_i^-1 T_j from verify_loop
+    intr: Intrinsics,
+    cfg: EngineConfig,
+) -> tuple[jnp.ndarray, ba.PairedObs]:
+    """Sample paired landmark observations across a verified loop pair.
+
+    The BAObservations producer (SURVEY.md §4.6): up to
+    `cfg.posegraph.landmarks_per_loop` pixels are sampled on a stride
+    grid from keyframe i's stored decimated vertex map, lifted to world
+    landmarks at i's current pose, and projectively associated into
+    keyframe j's stored maps through the ICP-verified relative pose (so
+    association quality is independent of accumulated global drift).
+    Measurements stay raw camera-frame vertices; validity requires
+    in-image projection, a 3D distance gate (icp.dist_thresh) and normal
+    agreement across the pair.  Returns (points (L,3) world, PairedObs).
+    """
+    pgc = cfg.posegraph
+    L = pgc.landmarks_per_loop
+    from instancefusion_tpu.ops.blocks import compact_mask_indices
+
+    v_i = bs.kf.vertex_c[kf_i]  # (h,w,3) camera-frame
+    n_i = bs.kf.normal_c[kf_i]
+    val_i = bs.kf.valid[kf_i]
+    v_j = bs.kf.vertex_c[kf_j]
+    n_j = bs.kf.normal_c[kf_j]
+    val_j = bs.kf.valid[kf_j]
+    h, w = val_i.shape
+    decim = intr.height // h
+    intr_d = Intrinsics(
+        fx=intr.fx / decim, fy=intr.fy / decim,
+        cx=(intr.cx + 0.5) / decim - 0.5, cy=(intr.cy + 0.5) / decim - 0.5,
+        width=w, height=h,
+    )
+
+    # Even-spread sampling: compact ALL valid pixels (scan order), then
+    # take every (hw/L)-th of the compacted list — the L samples spread
+    # uniformly over the whole valid set instead of clustering at the top
+    # rows of the image.
+    flat_val = val_i.reshape(-1)
+    hw = h * w
+    per = max(1, hw // max(L, 1))
+    cidx, cok = compact_mask_indices(flat_val, per * L)
+    pix = cidx.reshape(L, per)[:, 0]
+    ok = cok.reshape(L, per)[:, 0]
+
+    za = v_i.reshape(-1, 3)[pix]  # measured camera-frame position in i
+    na = n_i.reshape(-1, 3)[pix]
+    # Associate into j through the verified relative pose.
+    T_ji = se3_inverse(T_rel)  # j <- i
+    p_cj = transform_points(T_ji, za)
+    nb_in_j = rotate_vectors(T_ji, na)
+    z = jnp.maximum(p_cj[:, 2], 1e-6)
+    u = intr_d.fx * p_cj[:, 0] / z + intr_d.cx
+    v = intr_d.fy * p_cj[:, 1] / z + intr_d.cy
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h) & (p_cj[:, 2] > 0)
+    uic = jnp.clip(ui, 0, w - 1)
+    vic = jnp.clip(vi, 0, h - 1)
+    zb = v_j[vic, uic]  # measured camera-frame position in j
+    nb = n_j[vic, uic]
+    dist_ok = jnp.linalg.norm(p_cj - zb, axis=-1) < cfg.icp.dist_thresh
+    norm_ok = jnp.sum(nb_in_j * nb, axis=-1) > 0.6
+    valid = ok & in_img & val_j[vic, uic] & dist_ok & norm_ok
+
+    points = transform_points(bs.kf.poses[kf_i], za)  # world init at i's pose
+    obs = ba.PairedObs(
+        ka=jnp.full((L,), kf_i, jnp.int32),
+        kb=jnp.full((L,), kf_j, jnp.int32),
+        za=za,
+        zb=zb,
+        weight=jnp.full((L,), pgc.landmark_weight, jnp.float32),
+        valid=valid,
+    )
+    return points, obs
+
+
+def add_loop_landmarks(
+    bs: BackendState, points: jnp.ndarray, obs: ba.PairedObs
+) -> BackendState:
+    """Append a loop's landmarks into the fixed-capacity bank.
+
+    Valid landmarks are compacted to the front of the new rows; rows
+    beyond `max_landmarks` are dropped and counted in `lm_dropped`.
+    """
+    cap = bs.points.shape[0]
+    L = points.shape[0]
+    order = jnp.cumsum(obs.valid.astype(jnp.int32)) - 1
+    slot = bs.n_points + order
+    fits = obs.valid & (slot < cap)
+    out = jnp.where(fits, slot, cap)  # OOB -> dropped
+    n_new = jnp.sum(fits.astype(jnp.int32))
+    n_drop = jnp.sum(obs.valid.astype(jnp.int32)) - n_new
+    lm = ba.PairedObs(
+        ka=bs.lm.ka.at[out].set(obs.ka, mode="drop"),
+        kb=bs.lm.kb.at[out].set(obs.kb, mode="drop"),
+        za=bs.lm.za.at[out].set(obs.za, mode="drop"),
+        zb=bs.lm.zb.at[out].set(obs.zb, mode="drop"),
+        weight=bs.lm.weight.at[out].set(obs.weight, mode="drop"),
+        valid=bs.lm.valid.at[out].set(True, mode="drop"),
+    )
+    return bs._replace(
+        points=bs.points.at[out].set(points, mode="drop"),
+        lm=lm,
+        n_points=bs.n_points + n_new,
+        lm_dropped=bs.lm_dropped + n_drop,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def optimize(bs: BackendState, cfg: PoseGraphConfig) -> tuple[BackendState, jnp.ndarray]:
     """Gauss-Newton over all keyframe poses; returns (state, final cost)."""
@@ -215,3 +340,27 @@ def optimize(bs: BackendState, cfg: PoseGraphConfig) -> tuple[BackendState, jnp.
     used = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0] < bs.kf.count
     poses = jnp.where(used[:, None, None], poses, bs.kf.poses)
     return bs._replace(kf=bs.kf._replace(poses=poses)), cost
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def optimize_landmark(
+    bs: BackendState, cfg: PoseGraphConfig, terms_fn=None
+) -> tuple[BackendState, jnp.ndarray]:
+    """Joint pose-graph + landmark Schur BA over the whole backend.
+
+    The live loop-closure solver (BASELINE "loop-closure bundle
+    adjustment ... distributed Schur-complement reduction"): pose-graph
+    edges anchor the odometry chain while the landmark bank's paired
+    observations re-estimate the loop-pair geometry.  `terms_fn` injects
+    the psum-sharded reducer (parallel.shard.sharded_paired_terms) on a
+    mesh; None runs single-device.  With an empty bank this degrades to
+    `optimize`.
+    """
+    poses, points, cost = ba.optimize_hybrid_paired(
+        bs.kf.poses, bs.graph, bs.points, bs.lm,
+        iters=cfg.ba_iters, terms_fn=terms_fn,
+    )
+    m = poses.shape[0]
+    used = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0] < bs.kf.count
+    poses = jnp.where(used[:, None, None], poses, bs.kf.poses)
+    return bs._replace(kf=bs.kf._replace(poses=poses), points=points), cost

@@ -26,6 +26,7 @@ right-multiplied, T <- T @ exp(xi).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -223,14 +224,14 @@ def ba_partials(
     return Hpp, bp, Hll, bl, Hpl, cost
 
 
-def schur_solve(
-    Hpp, bp, Hll, bl, Hpl, damping: float = 1e-4, anchor: int = 0
-):
-    """Eliminate landmarks, solve the reduced pose system, back-substitute.
+def schur_reduce(Hpp, bp, Hll, bl, Hpl, damping: float = 1e-4):
+    """Eliminate the landmark block: the reduced camera system.
 
-    Returns (xi_poses (M,6), delta_points (L,3)).
+    Returns (S (6M,6M), rhs (6M,), Hll_inv (L,3,3)); the classic
+    S = Hpp - Hpl Hll^-1 Hlp with the Hll inverse a batched 3x3 (MXU
+    work, never a big sparse solve).
     """
-    m, L = Hpp.shape[0], Hll.shape[0]
+    m = Hpp.shape[0]
     eye3 = jnp.eye(3)
     Hll_d = Hll + damping * jnp.maximum(
         jnp.diagonal(Hll, axis1=-2, axis2=-1), 1.0
@@ -243,21 +244,38 @@ def schur_solve(
     S = -S_off
     S = S.at[jnp.arange(m), jnp.arange(m)].add(Hpp)
     rhs = bp - jnp.einsum("mlac,lc->ma", HplW, bl)
-
     S = S.transpose(0, 2, 1, 3).reshape(6 * m, 6 * m)
-    rhs = rhs.reshape(-1)
+    return S, rhs.reshape(-1), Hll_inv
+
+
+def _solve_reduced(S, rhs, m, damping, anchor):
     idx = jax.lax.broadcasted_iota(jnp.int32, (6 * m, 1), 0)[:, 0]
     anchor_mask = (idx >= 6 * anchor) & (idx < 6 * (anchor + 1))
     diag = damping * jnp.maximum(jnp.diagonal(S), 1.0) + jnp.where(
         anchor_mask, 1e12, 0.0
     )
     xi = jnp.linalg.solve(S + jnp.diag(diag), rhs).reshape(m, 6)
-    xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
+    return jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
 
-    # Back-substitute: dl = Hll^-1 (bl - Hlp xi)
+
+def _backsub_landmarks(Hll_inv, bl, Hpl, xi):
+    """dl = Hll^-1 (bl - Hlp xi)."""
     Hlp_xi = jnp.einsum("mlab,ma->lb", Hpl, xi)
     dl = jnp.einsum("lab,lb->la", Hll_inv, bl - Hlp_xi)
-    dl = jnp.where(jnp.all(jnp.isfinite(dl)), dl, jnp.zeros_like(dl))
+    return jnp.where(jnp.all(jnp.isfinite(dl)), dl, jnp.zeros_like(dl))
+
+
+def schur_solve(
+    Hpp, bp, Hll, bl, Hpl, damping: float = 1e-4, anchor: int = 0
+):
+    """Eliminate landmarks, solve the reduced pose system, back-substitute.
+
+    Returns (xi_poses (M,6), delta_points (L,3)).
+    """
+    m = Hpp.shape[0]
+    S, rhs, Hll_inv = schur_reduce(Hpp, bp, Hll, bl, Hpl, damping)
+    xi = _solve_reduced(S, rhs, m, damping, anchor)
+    dl = _backsub_landmarks(Hll_inv, bl, Hpl, xi)
     return xi, dl
 
 
@@ -281,4 +299,222 @@ def optimize_ba(
         return orthonormalize(_mm(poses, se3_exp(xi))), points + dl, cost
 
     poses, points, cost = jax.lax.fori_loop(0, iters, body, (poses, points, jnp.inf))
+    return poses, points, cost
+
+
+def optimize_hybrid(
+    poses: jnp.ndarray,  # (M,4,4)
+    g: PoseGraph,
+    points: jnp.ndarray,  # (L,3)
+    obs: BAObservations,
+    iters: int = 5,
+    damping: float = 1e-4,
+    anchor: int = 0,
+    partials_fn=ba_partials,
+    pg_weight: float = 1.0,
+):
+    """Joint pose-graph + landmark Schur BA (the live loop-closure solver).
+
+    The full loop-closure correction mandated by BASELINE ("keyframe
+    pose-graph optimization and loop-closure bundle adjustment as a
+    distributed Schur-complement reduction", SURVEY.md §0.1/§4.6): one
+    Gauss-Newton system per iteration combining
+
+    - the pose-graph normal equations (odometry chain + verified loop
+      edges, `pose_graph_normal_eqs`) — these anchor the whole trajectory;
+    - the landmark observations' Schur complement (`schur_reduce` over
+      `partials_fn`, psum-sharded when `partials_fn` comes from
+      `parallel.shard.sharded_ba_partials`) — these re-estimate the
+      loop-pair geometry from raw point correspondences, adding constraint
+      directions a single rigid edge cannot carry.
+
+    With zero valid observations the landmark terms vanish and this
+    degrades exactly to `optimize_pose_graph`.  Returns
+    (poses, points, cost = pg_cost + ba_cost).
+    """
+    m = poses.shape[0]
+
+    def body(_, carry):
+        poses, points, _ = carry
+        Hpp, bp, Hll, bl, Hpl, ba_cost = partials_fn(poses, points, obs)
+        S, rhs, Hll_inv = schur_reduce(Hpp, bp, Hll, bl, Hpl, damping)
+        H_pg, b_pg, pg_cost = pose_graph_normal_eqs(poses, g)
+        xi = _solve_reduced(
+            S + pg_weight * H_pg, rhs + pg_weight * b_pg, m, damping, anchor
+        )
+        dl = _backsub_landmarks(Hll_inv, bl, Hpl, xi)
+        return (
+            orthonormalize(_mm(poses, se3_exp(xi))),
+            points + dl,
+            pg_weight * pg_cost + ba_cost,
+        )
+
+    poses, points, cost = jax.lax.fori_loop(
+        0, iters, body, (poses, points, jnp.inf)
+    )
+    return poses, points, cost
+
+
+# ---------------------------------------------------------------------------
+# Paired-landmark layout: the production loop-closure path
+# ---------------------------------------------------------------------------
+
+
+class PairedObs(NamedTuple):
+    """Landmark observations in PAIRED layout.
+
+    Landmark l is observed by exactly two keyframes — its loop pair —
+    with both rows aligned on the landmark axis.  This is what the live
+    pipeline produces (each verified loop contributes L landmarks seen
+    from both loop keyframes); exploiting the 2-observation structure
+    keeps the Schur product O(L) scatter-adds instead of the dense
+    (M, L, 6, 3) Hpl of `ba_partials` (kept as the golden/general path).
+    """
+
+    ka: jnp.ndarray  # i32[L] — first observing keyframe
+    kb: jnp.ndarray  # i32[L] — second observing keyframe
+    za: jnp.ndarray  # f32[L,3] — measured camera-frame position in ka
+    zb: jnp.ndarray  # f32[L,3] — measured camera-frame position in kb
+    weight: jnp.ndarray  # f32[L]
+    valid: jnp.ndarray  # bool[L]
+
+
+def empty_paired_obs(capacity: int) -> PairedObs:
+    return PairedObs(
+        ka=jnp.zeros((capacity,), jnp.int32),
+        kb=jnp.zeros((capacity,), jnp.int32),
+        za=jnp.zeros((capacity, 3), jnp.float32),
+        zb=jnp.zeros((capacity, 3), jnp.float32),
+        weight=jnp.zeros((capacity,), jnp.float32),
+        valid=jnp.zeros((capacity,), bool),
+    )
+
+
+def paired_to_generic(obs: PairedObs) -> BAObservations:
+    """Flatten a paired set to the generic layout (for goldens/tests)."""
+    L = obs.ka.shape[0]
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)[:, 0]
+    return BAObservations(
+        k=jnp.concatenate([obs.ka, obs.kb]),
+        l=jnp.concatenate([lidx, lidx]),
+        z=jnp.concatenate([obs.za, obs.zb]),
+        weight=jnp.concatenate([obs.weight, obs.weight]),
+        valid=jnp.concatenate([obs.valid, obs.valid]),
+    )
+
+
+def paired_terms(
+    poses: jnp.ndarray,  # (M,4,4)
+    points: jnp.ndarray,  # (L,3)
+    obs: PairedObs,
+    damping: float = 1e-4,
+):
+    """Schur-reduced camera terms from paired landmark observations.
+
+    Returns (S (M,M,6,6), rhs (M,6), Hll_inv (L,3,3), Wa, Wb (L,6,3),
+    bl (L,3), cost).  S, rhs, and cost are plain sums over landmarks —
+    the psum-reducible partials of the distributed Schur reduction
+    (`parallel.shard.sharded_paired_terms`); Hll_inv/Wa/Wb/bl stay
+    landmark-aligned for the back-substitution.
+    """
+    m = poses.shape[0]
+    zero = jnp.zeros((6,), poses.dtype)
+
+    def one(ka, kb, za, zb, p, w, ok):
+        w = jnp.where(ok, w, 0.0)
+        ra = _obs_residual(zero, p, poses[ka], za)
+        Jpa = jax.jacfwd(_obs_residual, argnums=0)(zero, p, poses[ka], za)
+        Jla = jax.jacfwd(_obs_residual, argnums=1)(zero, p, poses[ka], za)
+        rb = _obs_residual(zero, p, poses[kb], zb)
+        Jpb = jax.jacfwd(_obs_residual, argnums=0)(zero, p, poses[kb], zb)
+        Jlb = jax.jacfwd(_obs_residual, argnums=1)(zero, p, poses[kb], zb)
+        return ra * w, Jpa * w, Jla * w, rb * w, Jpb * w, Jlb * w
+
+    ra, Jpa, Jla, rb, Jpb, Jlb = jax.vmap(one)(
+        obs.ka, obs.kb, obs.za, obs.zb, points, obs.weight, obs.valid
+    )
+
+    ein = functools.partial(jnp.einsum, precision=_PREC)
+    Hll = ein("lab,lac->lbc", Jla, Jla) + ein("lab,lac->lbc", Jlb, Jlb)
+    Hll_d = Hll + damping * jnp.maximum(
+        jnp.diagonal(Hll, axis1=-2, axis2=-1), 1.0
+    )[..., None] * jnp.eye(3, dtype=poses.dtype)
+    Hll_inv = jnp.linalg.inv(Hll_d)
+    Wa = ein("lab,lac->lbc", Jpa, Jla)  # (L,6,3) = Jpaᵀ Jla
+    Wb = ein("lab,lac->lbc", Jpb, Jlb)
+    bl = -(ein("lab,la->lb", Jla, ra) + ein("lab,la->lb", Jlb, rb))
+
+    WaH = ein("lab,lbc->lac", Wa, Hll_inv)  # (L,6,3)
+    WbH = ein("lab,lbc->lac", Wb, Hll_inv)
+
+    S = jnp.zeros((m, m, 6, 6), poses.dtype)
+    S = S.at[obs.ka, obs.ka].add(
+        ein("lab,lac->lbc", Jpa, Jpa) - ein("lac,lbc->lab", WaH, Wa)
+    )
+    S = S.at[obs.kb, obs.kb].add(
+        ein("lab,lac->lbc", Jpb, Jpb) - ein("lac,lbc->lab", WbH, Wb)
+    )
+    off = ein("lac,lbc->lab", WaH, Wb)  # (L,6,6): Wa Hll_inv Wbᵀ
+    S = S.at[obs.ka, obs.kb].add(-off)
+    S = S.at[obs.kb, obs.ka].add(-jnp.swapaxes(off, -1, -2))
+
+    rhs = jnp.zeros((m, 6), poses.dtype)
+    rhs = rhs.at[obs.ka].add(-ein("lab,la->lb", Jpa, ra))
+    rhs = rhs.at[obs.kb].add(-ein("lab,la->lb", Jpb, rb))
+    rhs = rhs.at[obs.ka].add(-ein("lac,lc->la", WaH, bl))
+    rhs = rhs.at[obs.kb].add(-ein("lac,lc->la", WbH, bl))
+
+    cost = jnp.sum(ra * ra) + jnp.sum(rb * rb)
+    return S, rhs, Hll_inv, Wa, Wb, bl, cost
+
+
+def optimize_hybrid_paired(
+    poses: jnp.ndarray,
+    g: PoseGraph,
+    points: jnp.ndarray,
+    obs: PairedObs,
+    iters: int = 5,
+    damping: float = 1e-4,
+    anchor: int = 0,
+    terms_fn=None,
+    pg_weight: float = 1.0,
+):
+    """Joint pose-graph + paired-landmark Schur BA — the live solver.
+
+    Same semantics as `optimize_hybrid` restricted to the paired layout,
+    at O(L) Schur cost.  `terms_fn` is injectable so the distributed
+    version passes a shard_map-wrapped reducer (paired_terms + psum on
+    S/rhs/cost) without duplicating the solver.  With zero valid
+    observations this degrades exactly to `optimize_pose_graph`.
+    """
+    if terms_fn is None:
+        terms_fn = functools.partial(paired_terms, damping=damping)
+    m = poses.shape[0]
+    ein = functools.partial(jnp.einsum, precision=_PREC)
+
+    def body(_, carry):
+        poses, points, _ = carry
+        S, rhs, Hll_inv, Wa, Wb, bl, ba_cost = terms_fn(poses, points, obs)
+        H_pg, b_pg, pg_cost = pose_graph_normal_eqs(poses, g)
+        Sm = S.transpose(0, 2, 1, 3).reshape(6 * m, 6 * m) + pg_weight * H_pg
+        xi = _solve_reduced(
+            Sm, rhs.reshape(-1) + pg_weight * b_pg, m, damping, anchor
+        )
+        # Back-substitute: dl = Hll^-1 (bl - Waᵀ xi_ka - Wbᵀ xi_kb).
+        resid = (
+            bl
+            - ein("lab,la->lb", Wa, xi[obs.ka])
+            - ein("lab,la->lb", Wb, xi[obs.kb])
+        )
+        dl = ein("lab,lb->la", Hll_inv, resid)
+        dl = jnp.where(jnp.all(jnp.isfinite(dl)), dl, jnp.zeros_like(dl))
+        return (
+            orthonormalize(_mm(poses, se3_exp(xi))),
+            points + dl,
+            pg_weight * pg_cost + ba_cost,
+        )
+
+    poses, points, cost = jax.lax.fori_loop(
+        0, iters, body, (poses, points, jnp.inf)
+    )
     return poses, points, cost

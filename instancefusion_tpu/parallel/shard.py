@@ -386,6 +386,258 @@ def raycast(
     return fn(bm.directory, bm.block_coords, bm.sdf, bm.weight, bm.color, T_wc)
 
 
+# ---------------------------------------------------------------------------
+# Fused fast-path step: list-based allocation + slot integrate + splat
+# raycast per shard (the round-3 single-chip fast paths, sharded)
+# ---------------------------------------------------------------------------
+
+
+def _alloc_from_band(
+    directory, coords_l, n_active_vec, overflow_vec, depth, T_wc, sid,
+    *, intr: Intrinsics, cfg: TsdfConfig, num_shards: int,
+    samples: int = 3, stride: int = 4, alloc_cap: int = 4096,
+):
+    """Replicated list-based allocation of this frame's band blocks.
+
+    The sharded analog of `blocks.discover_allocate` with ZERO
+    collectives: the band candidate list, its dedup, and every shard's
+    prefix-sum slot assignment are deterministic functions of replicated
+    inputs (depth, pose, directory) plus the REPLICATED per-shard
+    n_active vector — so all shards compute the identical allocation plan
+    and directory update locally; each shard scatters only its own
+    coords rows.  This replaces `_integrate_shard`'s Nb^3 cumsum + pmax
+    merge (the round-3 profile's dominant map-bookkeeping cost).
+    """
+    from instancefusion_tpu.geometry.camera import ray_directions
+    from instancefusion_tpu.ops.common import decimate
+
+    nb = blk.num_blocks_per_axis(cfg)
+    nb3 = nb * nb * nb
+    cl = coords_l.shape[0]
+
+    rays = ray_directions(intr)
+    if stride > 1:
+        rays = decimate(rays, stride)
+        depth_s = decimate(depth, stride)
+    else:
+        depth_s = depth
+    R = T_wc[:3, :3]
+    o = T_wc[:3, 3]
+    dirs_w = rays.reshape(-1, 3) @ R.T
+    d = depth_s.reshape(-1)
+    valid = d > 0.0
+    band = cfg.trunc + cfg.voxel_size
+    offs = jnp.linspace(-band, band, samples)
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    bsz = cfg.block_size * cfg.voxel_size
+    ids = []
+    for i in range(samples):
+        p = o[None, :] + dirs_w * (d + offs[i])[:, None]
+        g = jnp.floor((p - origin) / bsz).astype(jnp.int32)
+        inb = jnp.all((g >= 0) & (g < nb), axis=-1) & valid
+        flat = (g[:, 0] * nb + g[:, 1]) * nb + g[:, 2]
+        ids.append(jnp.where(inb, flat, -1))
+    flat_all = jnp.concatenate(ids)
+
+    srt = jnp.sort(flat_all)
+    prev_s = jnp.concatenate([jnp.full((1,), -2, jnp.int32), srt[:-1]])
+    first = (srt >= 0) & (srt != prev_s)
+    alloc_cap = min(alloc_cap, flat_all.shape[0])
+    top, _ = jax.lax.top_k(jnp.where(first, srt, -1), alloc_cap)
+    dir_flat = directory.reshape(-1)
+    have = dir_flat[jnp.maximum(top, 0)] >= 0
+    uniq = (top >= 0) & jnp.logical_not(have)
+    owner = _slab_of(top // (nb * nb), nb, num_shards)
+    coords_top = jnp.stack(
+        [top // (nb * nb), (top // nb) % nb, top % nb], axis=-1
+    ).astype(jnp.int32)
+
+    new_dir = dir_flat
+    for sh in range(num_shards):
+        mine = uniq & (owner == sh)
+        order = jnp.cumsum(mine.astype(jnp.int32)) - 1
+        lslot = n_active_vec[sh] + order
+        fits = mine & (lslot < cl)
+        gslot = sh * cl + lslot
+        dir_ids = jnp.where(fits, top, nb3)  # OOB -> dropped
+        new_dir = new_dir.at[dir_ids].set(gslot, mode="drop")
+        n_new = jnp.sum(fits.astype(jnp.int32))
+        n_drop = jnp.sum(mine.astype(jnp.int32)) - n_new
+        n_active_vec = n_active_vec.at[sh].add(n_new)
+        overflow_vec = overflow_vec.at[sh].add(n_drop)
+        # Only the owner shard writes its coords rows.
+        row = jnp.where(fits & (sh == sid), lslot, cl)  # OOB -> dropped
+        coords_l = coords_l.at[row].set(coords_top, mode="drop")
+
+    return new_dir.reshape(directory.shape), coords_l, n_active_vec, overflow_vec
+
+
+def _fused_step_shard(
+    directory, coords_l, n_active_vec, overflow_vec, sdf_l, w_l, col_l,
+    depth, color, prior, T_wc,
+    *, intr: Intrinsics, cfg: TsdfConfig, rc_cfg, num_shards: int,
+    k_local: int, alloc_cap: int, with_color: bool, pred_color: bool,
+    color_gain: float,
+):
+    """Per-shard fast-path body: allocate -> integrate slots -> splat.
+
+    The round-3 single-chip fast paths running inside the shard bodies
+    (VERDICT r3 item 2): one shared shard-local in-frustum slot list
+    feeds both the slot-addressed integrate (Pallas fused_integrate on
+    TPU, jnp golden elsewhere) and the MXU splat-raycast prediction with
+    depth prior + screen-space normals; per-shard raycast work is
+    proportional to the shard's OWN block count (no all-pixels full-range
+    march).  Splatting is per-block independent, so no halo exchange is
+    needed; the per-shard images pmin/psum-composite and the finishing
+    map math runs replicated.
+    """
+    from instancefusion_tpu.ops.pallas.raycast import splat_depth, splat_depth_ref
+
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    cl = sdf_l.shape[0]
+
+    directory, coords_l, n_active_vec, overflow_vec = _alloc_from_band(
+        directory, coords_l, n_active_vec, overflow_vec, depth, T_wc, sid,
+        intr=intr, cfg=cfg, num_shards=num_shards, alloc_cap=alloc_cap,
+    )
+
+    local_bm = blk.BlockMap(
+        directory=directory,
+        block_coords=coords_l,
+        n_active=n_active_vec[sid],
+        overflow=jnp.zeros((), jnp.int32),
+        sdf=sdf_l,
+        weight=w_l,
+        color=col_l,
+    )
+    inview = blk.frustum_mask(
+        local_bm, T_wc, intr, cfg, rc_cfg.near, rc_cfg.far
+    )
+    lslots, lvalid = blk.compact_mask_indices(inview, k_local)
+    local_bm = blk.integrate_slots(
+        local_bm, lslots, lvalid, depth,
+        color if with_color else None, T_wc, intr, cfg,
+        color_gain=color_gain,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    impl = splat_depth if on_tpu else splat_depth_ref
+    imgs = impl(
+        lslots, lvalid, coords_l,
+        local_bm.sdf, local_bm.weight, local_bm.color,
+        T_wc, intr, cfg,
+        with_color=pred_color and bool(col_l.shape[1]),
+        depth_prior=prior,
+        rmax=rc_cfg.splat_rmax,
+    )
+
+    # Composite the raw splat images FIRST (pmin depth winner, masked-psum
+    # blend), then finish vertex/normal maps replicated — image-space
+    # normals need the full composited depth, not one shard's slice.
+    inf = jnp.float32(3.4e38)
+    my_depth = jnp.where(imgs.valid, imgs.depth, inf)
+    best = jax.lax.pmin(my_depth, SHARD_AXIS)
+    win = imgs.valid & (my_depth <= best)
+    nwin = jnp.maximum(jax.lax.psum(win.astype(jnp.float32), SHARD_AXIS), 1.0)
+    depth_c = jax.lax.psum(jnp.where(win, imgs.depth, 0.0), SHARD_AXIS) / nwin
+    color_c = jax.lax.psum(
+        jnp.where(win[..., None], imgs.color, 0.0), SHARD_AXIS
+    ) / nwin[..., None]
+    valid_c = jax.lax.psum(win.astype(jnp.int32), SHARD_AXIS) > 0
+
+    from instancefusion_tpu.geometry.camera import ray_directions
+    from instancefusion_tpu.ops.raycast import RaycastMaps
+
+    rays_c = ray_directions(intr)  # unit-z
+    R = T_wc[:3, :3]
+    origin_w = T_wc[:3, 3]
+    dirs_z = (rays_c.reshape(-1, 3) @ R.T).reshape(rays_c.shape)
+    p_hit = origin_w + depth_c[..., None] * dirs_z
+    dirs_unit = dirs_z / jnp.maximum(
+        jnp.linalg.norm(dirs_z, axis=-1, keepdims=True), 1e-12
+    )
+    normal_w, nvalid = blk._image_space_normals(p_hit, valid_c, dirs_unit)
+    valid = valid_c & nvalid
+    zero3 = jnp.zeros_like(p_hit)
+    maps = RaycastMaps(
+        vertex_w=jnp.where(valid[..., None], p_hit, zero3),
+        normal_w=jnp.where(valid[..., None], normal_w, zero3),
+        depth=jnp.where(valid, depth_c, 0.0),
+        color=jnp.where(valid[..., None], color_c, 0.0),
+        valid=valid,
+    )
+    return (
+        directory, coords_l, n_active_vec, overflow_vec,
+        local_bm.sdf, local_bm.weight, local_bm.color,
+        maps.vertex_w, maps.normal_w, maps.depth, maps.color, maps.valid,
+    )
+
+
+def fused_step_map(
+    bm: ShardedBlockMap,
+    depth: jnp.ndarray,
+    color: jnp.ndarray | None,
+    prior: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    mesh: Mesh,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    rc_cfg,
+    pred_color: bool = True,
+    k_local: int | None = None,
+    alloc_cap: int = 4096,
+    color_gain: float = 1.0,
+):
+    """Sharded fast-path map update: (allocate + integrate + splat predict).
+
+    One shard_map call per frame covering all map work — the sharded
+    equivalent of engine/slam.step's `use_splat` fast path.  Returns
+    (ShardedBlockMap, RaycastMaps).
+    """
+    from instancefusion_tpu.ops.raycast import RaycastMaps
+
+    num_shards = mesh.shape[SHARD_AXIS]
+    if k_local is None:
+        k_local = max(256, cfg.touched_capacity // num_shards)
+    with_color = color is not None and bm.color.shape[1] > 0
+    color_in = color if with_color else jnp.zeros(
+        (intr.height, intr.width, 3), jnp.float32
+    )
+    fn = shard_map(
+        functools.partial(
+            _fused_step_shard, intr=intr, cfg=cfg, rc_cfg=rc_cfg,
+            num_shards=num_shards, k_local=k_local, alloc_cap=alloc_cap,
+            with_color=with_color, pred_color=pred_color,
+            color_gain=color_gain,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(), P(SHARD_AXIS), P(), P(),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(), P(), P(), P(),
+        ),
+        out_specs=(
+            P(), P(SHARD_AXIS), P(), P(),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(), P(), P(), P(), P(),
+        ),
+        check_vma=False,
+    )
+    (directory, coords, n_active, overflow, sdf, w, col,
+     vert, norm, dep, colimg, valid) = fn(
+        bm.directory, bm.block_coords, bm.n_active, bm.overflow,
+        bm.sdf, bm.weight, bm.color, depth, color_in, prior, T_wc,
+    )
+    new_bm = ShardedBlockMap(
+        directory=directory, block_coords=coords, n_active=n_active,
+        overflow=overflow, sdf=sdf, weight=w, color=col,
+    )
+    maps = RaycastMaps(
+        vertex_w=vert, normal_w=norm, depth=dep, color=colimg, valid=valid
+    )
+    return new_bm, maps
+
+
 def allocate_votes(cfg: TsdfConfig, num_shards: int):
     """Per-voxel instance-vote planes, sharded like the block payloads."""
     from instancefusion_tpu.ops import labels
@@ -719,6 +971,45 @@ def sharded_ba_partials(mesh: Mesh):
         )(poses, points, obs)
 
     return partials
+
+
+def sharded_paired_terms(mesh: Mesh, damping: float = 1e-4):
+    """Returns a `terms_fn` for ops/ba.optimize_hybrid_paired whose
+    landmark set is sharded over the mesh.
+
+    The distributed Schur-complement reduction of the BASELINE contract:
+    each shard computes `ba.paired_terms` over its landmark slice (every
+    landmark's full 3x3 Hll lives on exactly one shard, so the per-shard
+    damped inverses are exact), the psum over S/rhs/cost assembles the
+    replicated reduced camera system, and the landmark-aligned outputs
+    (Hll_inv, Wa, Wb, bl) come back shard-sharded for the local
+    back-substitution.
+    """
+
+    def terms(poses, points, obs: ba.PairedObs):
+        def body(poses, points, obs):
+            S, rhs, Hll_inv, Wa, Wb, bl, cost = ba.paired_terms(
+                poses, points, obs, damping
+            )
+            return (
+                jax.lax.psum(S, SHARD_AXIS),
+                jax.lax.psum(rhs, SHARD_AXIS),
+                Hll_inv, Wa, Wb, bl,
+                jax.lax.psum(cost, SHARD_AXIS),
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(
+                P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                P(SHARD_AXIS), P(),
+            ),
+            check_vma=False,
+        )(poses, points, obs)
+
+    return terms
 
 
 def sharded_pose_graph_normal_eqs(mesh: Mesh, poses, g: ba.PoseGraph):

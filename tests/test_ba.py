@@ -153,3 +153,77 @@ def test_fern_retrieval():
     best, diss = ferns.find_best(q, codes, jnp.ones((8,), bool), jnp.int32(8))
     assert int(best) == 5
     assert float(diss) < 0.2
+
+
+def _paired_problem(m=5, L=30, noise_pose=0.03, noise_pt=0.03, seed=2):
+    """Random paired landmark set + noisy odometry chain (no loop edges)."""
+    rng = np.random.default_rng(seed)
+    gt = _circle_poses(m, radius=0.5)
+    pts = rng.uniform(-1, 1, (L, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    ka = rng.integers(0, m, L).astype(np.int32)
+    kb = ((ka + 1 + rng.integers(0, m - 1, L)) % m).astype(np.int32)
+
+    def cam(k, l):
+        Ti = np.asarray(se3_inverse(jnp.asarray(gt[k])))
+        return Ti[:3, :3] @ pts[l] + Ti[:3, 3]
+
+    za = np.stack([cam(ka[l], l) for l in range(L)]).astype(np.float32)
+    zb = np.stack([cam(kb[l], l) for l in range(L)]).astype(np.float32)
+    pobs = ba.PairedObs(
+        ka=jnp.asarray(ka), kb=jnp.asarray(kb),
+        za=jnp.asarray(za), zb=jnp.asarray(zb),
+        weight=jnp.ones((L,)), valid=jnp.ones((L,), bool),
+    )
+    g = ba.empty_graph(16)
+    ne = jnp.zeros((), jnp.int32)
+    noisy = [gt[0]]
+    for i in range(m - 1):
+        T_rel = np.asarray(se3_inverse(jnp.asarray(gt[i]))) @ gt[i + 1]
+        Tn = T_rel @ np.asarray(
+            se3_exp(jnp.asarray(rng.normal(0, noise_pose, 6).astype(np.float32)))
+        )
+        noisy.append(noisy[-1] @ Tn)
+        g, ne = ba.add_edge(g, ne, i, i + 1, jnp.asarray(Tn))
+    npts = pts + rng.normal(0, noise_pt, pts.shape).astype(np.float32)
+    return gt, pts, np.stack(noisy), npts, pobs, g
+
+
+def test_paired_hybrid_matches_generic_hybrid():
+    """The O(L) paired Schur path is numerically the dense-Hpl golden."""
+    gt, pts, noisy, npts, pobs, g = _paired_problem()
+    gobs = ba.paired_to_generic(pobs)
+    p1, x1, c1 = ba.optimize_hybrid(
+        jnp.asarray(noisy), g, jnp.asarray(npts), gobs, iters=8
+    )
+    p2, x2, c2 = ba.optimize_hybrid_paired(
+        jnp.asarray(noisy), g, jnp.asarray(npts), pobs, iters=8
+    )
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=2e-5)
+    np.testing.assert_allclose(float(c1), float(c2), rtol=1e-4)
+
+
+def test_hybrid_beats_pose_graph_only():
+    """Landmark observations add constraint directions a rigid odometry
+    chain cannot carry: the joint solve recovers poses the pose-graph-only
+    GN (which is happy with any drifted-but-consistent chain) cannot."""
+    gt, pts, noisy, npts, pobs, g = _paired_problem()
+    e0 = _trans_rmse(noisy, gt)
+    pg_only, _ = ba.optimize_pose_graph(jnp.asarray(noisy), g, iters=8)
+    e_pg = _trans_rmse(np.asarray(pg_only), gt)
+    ph, xh, _ = ba.optimize_hybrid_paired(
+        jnp.asarray(noisy), g, jnp.asarray(npts), pobs, iters=8
+    )
+    e_h = _trans_rmse(np.asarray(ph), gt)
+    assert e_h < 0.7 * e_pg, (e0, e_pg, e_h)
+
+
+def test_hybrid_empty_bank_degrades_to_pose_graph():
+    """Zero valid observations -> exactly pose-graph GN."""
+    gt, est, g = _chain_with_loop()
+    pobs = ba.empty_paired_obs(64)
+    pts = jnp.zeros((64, 3))
+    ph, _, _ = ba.optimize_hybrid_paired(jnp.asarray(est), g, pts, pobs, iters=6)
+    p_pg, _ = ba.optimize_pose_graph(jnp.asarray(est), g, iters=6)
+    np.testing.assert_allclose(np.asarray(ph), np.asarray(p_pg), atol=1e-5)

@@ -87,3 +87,59 @@ def test_backend_loop_closure_reduces_drift():
     err1 = np.sqrt(np.mean(np.sum((opt[:, :3, 3] - gt[:, :3, 3]) ** 2, -1)))
     assert err0 > 0.02  # drift was real
     assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_landmark_ba_beats_pose_graph_on_noisy_loop_edge():
+    """The VERDICT-mandated demonstration: with an imperfect verified loop
+    edge (ICP noise injected), the joint pose-graph + landmark Schur BA
+    recovers the trajectory measurably better than pose-graph GN alone —
+    the landmark residuals re-measure the loop-pair geometry from raw
+    correspondences instead of trusting one rigid edge."""
+    rng = np.random.default_rng(3)
+    gt = _out_and_back_poses(14)
+    n = len(gt)
+    bs = pg.allocate(CFG)
+
+    drift_xi = np.array([0.004, -0.003, 0.002, 0.002, -0.001, 0.003], np.float32)
+    est = [gt[0]]
+    for i in range(1, n):
+        T_rel = np.asarray(se3_inverse(jnp.asarray(gt[i - 1]))) @ gt[i]
+        est.append(est[-1] @ T_rel @ np.asarray(se3_exp(jnp.asarray(drift_xi))))
+    est = np.stack(est)
+
+    frames = [synthetic.render_frame(jnp.asarray(gt[i]), SMALL_INTR) for i in range(n)]
+    for i in range(n):
+        v, nm = _maps(frames[i])
+        bs = pg.add_keyframe(bs, jnp.asarray(est[i]), frames[i].color,
+                             frames[i].depth, v, nm)
+
+    # Ground-truth loop pair (last revisits first) with a NOISY measured
+    # relative pose — simulating an imperfect ICP verification.
+    cand = 0
+    T_rel_gt = np.asarray(se3_inverse(jnp.asarray(gt[cand]))) @ gt[-1]
+    noise = np.asarray(se3_exp(jnp.asarray(
+        np.array([0.025, -0.02, 0.03, 0.012, -0.008, 0.01], np.float32)
+    )))
+    T_rel_noisy = jnp.asarray(T_rel_gt @ noise)
+    bs = pg.add_loop_edge(bs, jnp.int32(cand), jnp.int32(n - 1), T_rel_noisy)
+
+    # Pose-graph-only correction.
+    bs_pg, _ = pg.optimize(bs, CFG.posegraph)
+    err_pg = np.sqrt(np.mean(np.sum(
+        (np.asarray(bs_pg.kf.poses[:n])[:, :3, 3] - gt[:, :3, 3]) ** 2, -1)))
+
+    # Landmark BA through the SAME noisy relative pose (association only;
+    # the measurements are the raw stored vertex maps).
+    pts, obs = pg.build_loop_landmarks(
+        bs, jnp.int32(cand), jnp.int32(n - 1), T_rel_noisy, SMALL_INTR, CFG
+    )
+    assert int(obs.valid.sum()) > 40, int(obs.valid.sum())
+    bs_lm = pg.add_loop_landmarks(bs, pts, obs)
+    assert int(bs_lm.n_points) == int(obs.valid.sum())
+    bs_lm, _ = pg.optimize_landmark(bs_lm, CFG.posegraph)
+    err_lm = np.sqrt(np.mean(np.sum(
+        (np.asarray(bs_lm.kf.poses[:n])[:, :3, 3] - gt[:, :3, 3]) ** 2, -1)))
+
+    err0 = np.sqrt(np.mean(np.sum((est[:, :3, 3] - gt[:, :3, 3]) ** 2, -1)))
+    assert err_pg < err0  # pose graph does help...
+    assert err_lm < 0.8 * err_pg, (err0, err_pg, err_lm)  # ...BA helps more

@@ -328,3 +328,71 @@ def test_dp_and_tp_segmentation_match_single(mesh):
     np.testing.assert_allclose(
         np.asarray(got.scores), np.asarray(single[0].scores), atol=1e-4
     )
+
+
+def test_sharded_paired_terms_match_single(mesh):
+    """The distributed paired-Schur reducer: psum'd S/rhs/cost equal the
+    single-device terms, and the full hybrid solve through the sharded
+    terms_fn matches the unsharded solve."""
+    from tests.test_ba import _paired_problem
+
+    gt, pts, noisy, npts, pobs, g = _paired_problem(m=5, L=32)
+    poses = jnp.asarray(noisy)
+    points = jnp.asarray(npts)
+
+    S0, rhs0, _, _, _, _, c0 = ba.paired_terms(poses, points, pobs)
+    terms = shard.sharded_paired_terms(mesh)
+    S1, rhs1, Hll_inv1, Wa1, Wb1, bl1, c1 = terms(poses, points, pobs)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rhs1), np.asarray(rhs0), atol=1e-5)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-5)
+    assert Hll_inv1.shape == (32, 3, 3)  # landmark-aligned leaves intact
+
+    p0, x0, _ = ba.optimize_hybrid_paired(poses, g, points, pobs, iters=6)
+    p1, x1, _ = ba.optimize_hybrid_paired(
+        poses, g, points, pobs, iters=6, terms_fn=terms
+    )
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=1e-4)
+
+
+def test_sharded_splat_fast_path_matches_single(mesh):
+    """The fused fast path (list-based replicated allocation + slot
+    integrate + per-shard splat + pmin composite) tracks the single-chip
+    splat engine: same trajectory (sub-voxel), same allocation set modulo
+    pose-divergence boundary blocks."""
+    from instancefusion_tpu.config import RaycastConfig as RC_
+    from instancefusion_tpu.engine import slam, slam_sharded
+    from tests.helpers import SMALL_CFG
+
+    cfg = dataclasses.replace(
+        SMALL_CFG,
+        map_kind="blocks",
+        tsdf=dataclasses.replace(CFG, touched_capacity=512),
+        raycast=RC_(near=0.2, far=4.0, use_depth_prior=True,
+                    screen_space_normals=True, use_splat=True, splat_rmax=3),
+    )
+    n = 6
+    poses_gt = synthetic.orbit_trajectory(n)
+    frames = [synthetic.render_frame(poses_gt[i], SMALL_INTR) for i in range(n)]
+    s1 = slam.init_state(cfg, frames[0].T_wc)
+    s2 = slam_sharded.init_state(cfg, mesh, frames[0].T_wc)
+    step2 = slam_sharded.make_step(cfg, mesh, donate=True)
+    for f in frames:
+        s1, i1 = slam.step(cfg, s1, f.depth, f.color)
+        s2, i2 = step2(s2, f.depth, f.color)
+        assert bool(i2.track_ok)
+    # Trajectories agree to well under a voxel.
+    assert float(jnp.max(jnp.abs(s1.T_wc - s2.T_wc))) < 0.5 * CFG.voxel_size
+    # Same allocation set modulo a few boundary blocks from the tiny pose
+    # divergence between the two engines' band sampling.
+    d1 = np.asarray(s1.volume.directory) >= 0
+    d2 = np.asarray(s2.volume.directory) >= 0
+    assert (d1 != d2).sum() <= 0.02 * d1.sum() + 2, (d1.sum(), d2.sum())
+    # The composited prediction has comparable coverage.
+    v1 = int(s1.pred.valid.sum())
+    v2 = int(s2.pred.valid.sum())
+    assert abs(v1 - v2) < 0.1 * max(v1, v2), (v1, v2)
+    # Payload rows spread over shards (not all on one).
+    counts = np.asarray(s2.volume.n_active)
+    assert (counts > 0).sum() >= 2, counts
