@@ -64,6 +64,12 @@ def main() -> None:
         sweep.append(s)
         s *= 2
 
+    # The fast path (use_splat): per-shard raycast work is proportional to
+    # the shard's OWN in-frustum block count, not all-pixels-everywhere —
+    # emitted below as blocks_per_shard_max so the sweep shows per-shard
+    # work dropping as shards grow (r3 VERDICT item 2).
+    use_splat = os.environ.get("SCALE_SPLAT", "1") != "0"
+    rmax = int(os.environ.get("SCALE_RMAX", "3"))
     base_fps = None
     for shards in sweep:
         cfg = EngineConfig(
@@ -74,12 +80,16 @@ def main() -> None:
                 block_size=8, table_capacity=1024 * shards,
             ),
             icp=IcpConfig(iters=(4, 3, 3), min_valid=50, rgb_weight=0.0),
-            raycast=RaycastConfig(near=0.2, far=4.0),
+            raycast=RaycastConfig(
+                near=0.2, far=4.0, use_depth_prior=use_splat,
+                screen_space_normals=use_splat, use_splat=use_splat,
+                splat_rmax=rmax,
+            ),
             map_kind="blocks",
         )
         mesh = meshmod.make_mesh(shards)
         state = slam_sharded.init_state(cfg, mesh)
-        step = slam_sharded.make_step(cfg, mesh)
+        step = slam_sharded.make_step(cfg, mesh, donate=True)
         poses = synthetic.orbit_trajectory(nframes + 2)
         frames = [
             synthetic.render_frame(poses[i], intr) for i in range(nframes + 2)
@@ -94,11 +104,18 @@ def main() -> None:
         fps = nframes / (time.perf_counter() - t0)
         if base_fps is None:
             base_fps = fps
+        # Per-shard owned-row counts: the raycast/integrate work metric.
+        import numpy as np
+
+        counts = np.asarray(state.volume.n_active)
         print(json.dumps({
             "metric": "sharded_frames_per_s",
             "shards": shards,
             "value": round(fps, 3),
             "efficiency_vs_1": round(fps / base_fps, 3),
+            "splat_fast_path": use_splat,
+            "blocks_total": int(counts.sum()),
+            "blocks_per_shard_max": int(counts.max()),
         }), flush=True)
 
 

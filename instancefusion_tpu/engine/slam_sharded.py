@@ -59,7 +59,9 @@ def init_state(cfg: EngineConfig, mesh: Mesh, T_init_wc=None) -> ShardedSlamStat
 
         votes = shard.allocate_votes(cfg.tsdf, num_shards)
         table = inst.allocate(cfg.instances)
-    return ShardedSlamState(
+    from instancefusion_tpu.engine.slam import _unalias_pytree
+
+    return _unalias_pytree(ShardedSlamState(
         T_wc=T0,
         volume=volume,
         pred=pred,
@@ -69,18 +71,23 @@ def init_state(cfg: EngineConfig, mesh: Mesh, T_init_wc=None) -> ShardedSlamStat
         T_prev_wc=T0,
         votes=votes,
         table=table,
-    )
+    ))
 
 
-def make_step(cfg: EngineConfig, mesh: Mesh):
+def make_step(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
     """Build the jitted sharded step for (cfg, mesh).
 
     The mesh is closed over (it is not a pytree); the returned function
-    has the same signature/behavior as engine/slam.step.
+    has the same signature/behavior as engine/slam.step.  With
+    `cfg.raycast.use_splat` the map work runs the fused fast path
+    (shard.fused_step_map — list-based allocation, slot-addressed
+    integrate, per-shard MXU splat prediction with depth prior); without
+    it the marched golden path (shard.integrate + shard.raycast) runs.
+    `donate=True` donates the input state (sequential drivers rebind it
+    every frame, letting XLA update the sharded payload in place).
     """
     intr = cfg.intrinsics
 
-    @jax.jit
     def step(state: ShardedSlamState, depth, color):
         intensity = preprocess.rgb_to_intensity(color) if cfg.use_color else None
         pyr = preprocess.build_frame_pyramid(
@@ -109,19 +116,31 @@ def make_step(cfg: EngineConfig, mesh: Mesh):
         d0 = pyr[0]["depth"]
         fused = jnp.where(fuse_ok, tsdf_integrate_count(d0), 0.0)
         depth_masked = jnp.where(fuse_ok, d0, jnp.zeros_like(d0))
-        volume = shard.integrate(
-            state.volume,
-            depth_masked,
-            color if cfg.use_color else None,
-            T_new,
-            mesh,
-            intr,
-            cfg.tsdf,
-        )
-        pred = shard.raycast(
-            volume, T_new, mesh, intr, cfg.tsdf, cfg.raycast,
-            with_color=cfg.use_color,
-        )
+        if cfg.raycast.use_splat:
+            prior = jnp.where(depth_masked > 0.0, depth_masked, state.pred.depth)
+            pred_color = cfg.use_color and (
+                cfg.raycast.predict_color or cfg.icp.rgb_weight > 0.0
+            )
+            volume, pred = shard.fused_step_map(
+                state.volume, depth_masked,
+                color if cfg.use_color else None,
+                prior, T_new, mesh, intr, cfg.tsdf, cfg.raycast,
+                pred_color=pred_color,
+            )
+        else:
+            volume = shard.integrate(
+                state.volume,
+                depth_masked,
+                color if cfg.use_color else None,
+                T_new,
+                mesh,
+                intr,
+                cfg.tsdf,
+            )
+            pred = shard.raycast(
+                volume, T_new, mesh, intr, cfg.tsdf, cfg.raycast,
+                with_color=cfg.use_color,
+            )
         new_state = state._replace(
             T_wc=T_new,
             volume=volume,
@@ -141,7 +160,23 @@ def make_step(cfg: EngineConfig, mesh: Mesh):
         )
         return new_state, info
 
-    return step
+    if donate:
+        # Same buffer-unaliasing trio as slam._make_donated: the pose
+        # leaves must come back in distinct buffers for the next donation.
+        def wrapper(state, depth, color):
+            new_state, info = step(state, depth, color)
+            t_wc, t_pred, t_prev = jax.lax.optimization_barrier(
+                (new_state.T_wc, new_state.pred_T_wc, new_state.T_prev_wc)
+            )
+            return (
+                new_state._replace(
+                    T_wc=t_wc, pred_T_wc=t_pred, T_prev_wc=t_prev
+                ),
+                info,
+            )
+
+        return jax.jit(wrapper, donate_argnums=(0,))
+    return jax.jit(step)
 
 
 def make_step_seg(cfg: EngineConfig, mesh: Mesh):
