@@ -56,6 +56,10 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                         "observation stamps; blocks map only)")
     p.add_argument("--local-every", type=int, default=3,
                    help="local-loop evidence poll cadence in frames")
+    p.add_argument("--shards", type=int, default=0,
+                   help="override the preset's map shard count (0 = preset "
+                        "default; >1 runs the slab-sharded engine on a "
+                        "device mesh — configs 4/5)")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -84,6 +88,20 @@ def cmd_run(args: argparse.Namespace) -> int:
         )
     else:
         cfg = PRESETS[args.preset]()
+
+    if args.shards:
+        import dataclasses as _dcs
+
+        cfg = _dcs.replace(cfg, num_shards=args.shards)
+    if cfg.num_shards > 1 and args.platform == "cpu":
+        # The sharded engine (configs 4/5) needs a device mesh; on the CPU
+        # platform fork enough virtual devices (the SURVEY §5 multi-host-
+        # without-a-cluster mode).  Must run before the backend
+        # initializes — nothing above computes with jax.
+        try:
+            jax.config.update("jax_num_cpu_devices", cfg.num_shards)
+        except RuntimeError:
+            pass  # backend already up (e.g. env flags set the count)
 
     if args.dataset == "synthetic":
         from instancefusion_tpu.datasets import synthetic

@@ -121,8 +121,14 @@ class PreprocessConfig:
 class InstanceConfig:
     max_instances: int = 96  # instance-table capacity (reference: fixed max)
     num_classes: int = 41  # NYU40 + background
-    seg_every: int = 8  # run segmentation every k frames (async in reference)
-    vote_topk: int = 4  # per-voxel top-k (id, count) vote slots
+    # Segmentation-head cadence: the pipeline dispatches the head every k
+    # frames (device-async) and fuses the result one frame later
+    # (engine/pipeline.py "Pipeline overlap"; the reference's async
+    # Mask R-CNN thread).  1 = every frame.
+    seg_every: int = 8
+    # (No per-voxel top-k vote buffer: the per-voxel label store is a
+    # single-slot Boyer-Moore streaming majority (ops/labels.py) — same
+    # asymptotic answer as a top-k histogram at 1/k the HBM traffic.)
     iou_match_thresh: float = 0.3
     min_mask_pixels: int = 200
 

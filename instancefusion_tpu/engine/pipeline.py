@@ -89,12 +89,67 @@ def run(
 ) -> PipelineResult:
     """Run the full pipeline over `frames` (iterable of dataset Frames).
 
-    `segment_fn(frame) -> Segmentation | None` supplies instance masks at
-    whatever cadence the caller wants (network head, ground truth, or
-    None to disable) — mirroring the reference's asynchronous Mask R-CNN
-    feed (SURVEY §4.5).
+    `segment_fn(frame) -> Segmentation | None` supplies instance masks
+    (network head, ground truth, or None to disable).  It is invoked at
+    the `cfg.instances.seg_every` cadence and its result is consumed ONE
+    frame later without ever fetching in between — the head's device work
+    overlaps the intervening tracking/fusion (the reference's
+    asynchronous Mask R-CNN thread, SURVEY §4.5/§3.2).
     """
-    state = slam.init_state(cfg, T_init_wc)
+    # Engine selection (SURVEY §0.1 configs 4/5): num_shards > 1 routes the
+    # map work through the slab-sharded engine on a device mesh; the host
+    # orchestration below (keyframes, fern loops, relocalization, landmark
+    # BA) is engine-agnostic — it only consumes the replicated prediction
+    # maps and poses, which both engines expose identically.
+    sharded = cfg.num_shards > 1
+    ba_terms_fn = None
+    if sharded:
+        from instancefusion_tpu.engine import slam_sharded
+        from instancefusion_tpu.parallel import mesh as meshmod
+        from instancefusion_tpu.parallel import shard as shardmod
+
+        if cfg.map_kind != "blocks":
+            raise ValueError("num_shards > 1 requires map_kind='blocks'")
+        if local_loops or cfg.track_stamps:
+            raise ValueError(
+                "active/inactive local loops are a single-shard feature"
+            )
+        if stream_every or clean_every or retire_every:
+            raise ValueError(
+                "streaming/clean/retire cadences are single-shard features"
+            )
+        if cfg.posegraph.max_landmarks % cfg.num_shards:
+            raise ValueError("max_landmarks must divide num_shards")
+        mesh = meshmod.make_mesh(cfg.num_shards)
+        state = slam_sharded.init_state(cfg, mesh, T_init_wc)
+        _step = slam_sharded.make_step(cfg, mesh, donate=True)
+        _step_gt = (
+            slam_sharded.make_step_gt(cfg, mesh, donate=True)
+            if gt_odometry is not None else None
+        )
+        _fuse_seg = (
+            slam_sharded.make_fuse_segmentation(cfg, mesh, donate=True)
+            if (cfg.use_instances and segment_fn is not None) else None
+        )
+        ba_terms_fn = shardmod.sharded_paired_terms(mesh)
+
+        def _rerender(volume, T):
+            return shardmod.raycast(
+                volume, T, mesh, cfg.intrinsics, cfg.tsdf, cfg.raycast,
+                with_color=cfg.use_color,
+            )
+    else:
+        state = slam.init_state(cfg, T_init_wc)
+        _step = lambda st, d, c: slam.step_donated(cfg, st, d, c)  # noqa: E731
+        _step_gt = lambda st, d, c, T: slam.step_gt_donated(cfg, st, d, c, T)  # noqa: E731
+        _fuse_seg = lambda st, s, d, T: slam.fuse_segmentation_donated(cfg, st, s, d, T)  # noqa: E731
+
+        def _rerender(volume, T):
+            return slam._map_ops(cfg).raycast(
+                volume, T, cfg.intrinsics, cfg.tsdf, cfg.raycast,
+                with_color=cfg.use_color,
+            )
+
     backend = pg.allocate(cfg)
     # Map anchor: world-from-map.  The engine tracks and fuses in the MAP
     # frame; loop-closure corrections re-anchor the WHOLE map by updating
@@ -128,6 +183,8 @@ def run(
     timer = Timer()
     n_loops = 0
     local_fails = 0
+    # In-flight (device-async) segmentation result: (seg, depth, T_mc).
+    pending_seg = None
     t0 = time.perf_counter()
     i = start_frame - 1
 
@@ -180,10 +237,7 @@ def run(
                         # pose: the stale prediction views the wrong part of
                         # the map and would starve the next ICP of
                         # associations.
-                        pred = slam._map_ops(cfg).raycast(
-                            state.volume, T_new, cfg.intrinsics, cfg.tsdf,
-                            cfg.raycast, with_color=cfg.use_color,
-                        )
+                        pred = _rerender(state.volume, T_new)
                         # No map-based "polish" here on purpose: the
                         # verify-vs-keyframe ICP ran against raw (undrifted)
                         # sensor geometry and is the most accurate estimate
@@ -203,7 +257,16 @@ def run(
                         )
                         relocalized = True
 
-        seg = segment_fn(frame) if segment_fn is not None else None
+        # Asynchronous segmentation overlap (SURVEY §3.2 "Pipeline
+        # overlap" — the reference's Mask R-CNN thread): a result
+        # dispatched on an earlier frame is consumed now, against ITS OWN
+        # depth and pose; the head's device work overlapped with the
+        # intervening tracking/fusion steps because JAX dispatch is
+        # asynchronous and nothing fetched it.
+        if pending_seg is not None:
+            with timer.phase("seg_fuse"):
+                state = _fuse_seg(state, *pending_seg)
+                pending_seg = None
         with timer.phase("step"):
             # Donated variants: the previous frame's state buffers are
             # rebound every iteration, so XLA may update the block payload
@@ -211,22 +274,33 @@ def run(
             if gt_odometry is not None:
                 # Tracking bypass (the reference's GroundTruthOdometry):
                 # fuse at the dataset pose, isolating the mapping pipeline.
-                state, info = slam.step_gt_donated(
-                    cfg, state, frame.depth, frame.color,
+                state, info = _step_gt(
+                    state, frame.depth, frame.color,
                     jnp.matmul(
                         se3_inverse(T_wm),
                         jnp.asarray(gt_odometry[i], jnp.float32),
                         precision=_PREC,
                     ),
                 )
-            elif seg is not None and cfg.use_instances:
-                state, info = slam.step_seg_donated(
-                    cfg, state, frame.depth, frame.color, seg
-                )
             else:
-                state, info = slam.step_donated(
-                    cfg, state, frame.depth, frame.color
-                )
+                state, info = _step(state, frame.depth, frame.color)
+        # Dispatch the segmentation head at the configured cadence
+        # (InstanceConfig.seg_every) without fetching the result.
+        seg_dispatched = False
+        if (
+            segment_fn is not None
+            and cfg.use_instances
+            and i % max(cfg.instances.seg_every, 1) == 0
+            and bool(info.track_ok)
+        ):
+            with timer.phase("seg_dispatch"):
+                seg = segment_fn(frame)
+            if seg is not None:
+                # Copy the pose: the captured buffer must survive the next
+                # step's state donation (f(donate(state), state.T_wc) would
+                # use a donated buffer).
+                pending_seg = (seg, frame.depth, state.T_wc.copy())
+                seg_dispatched = True
 
         # Local (active/inactive) loop closure: when the engine starts
         # fusing into blocks unseen for > local_window frames, register
@@ -291,10 +365,7 @@ def run(
                             T_wm = jnp.matmul(corr, T_wm, precision=_PREC)
                         # Re-seat the engine on the inactive (old) geometry
                         # and re-render the prediction from there.
-                        pred = slam._map_ops(cfg).raycast(
-                            state.volume, T_corr, cfg.intrinsics, cfg.tsdf,
-                            cfg.raycast, with_color=cfg.use_color,
-                        )
+                        pred = _rerender(state.volume, T_corr)
                         state = slam._unalias_pytree(
                             state._replace(
                                 T_wc=T_corr, pred=pred, pred_T_wc=T_corr,
@@ -347,7 +418,7 @@ def run(
                         backend = pg.add_loop_edge(backend, cand, kf_cur, T_rel)
                         T_before = backend.kf.poses[kf_cur]
                         backend, cost = _optimize_after_loop(
-                            backend, cfg, cand, kf_cur, T_rel
+                            backend, cfg, cand, kf_cur, T_rel, ba_terms_fn
                         )
                         # Re-anchor the MAP: the engine state (map frame)
                         # is untouched — no pose jump against the fused
@@ -408,6 +479,7 @@ def run(
                     "local_loop_closed": local_closed,
                     "local_evidence": n_evidence,
                     "relocalized": relocalized,
+                    "seg_dispatched": seg_dispatched,
                     "lost_frames": int(state.lost_frames),
                     **stream_stats,
                     **{f"t_{k}_ms": round(v, 2) for k, v in timer.times_ms.items()},
@@ -419,6 +491,9 @@ def run(
             sync_fetch((state, backend, T_wm))
             ckpt.save(checkpoint_dir, (state, backend, T_wm), cfg, i + 1)
 
+    # Flush the last in-flight segmentation so its votes are not lost.
+    if pending_seg is not None:
+        state = _fuse_seg(state, *pending_seg)
     sync_fetch(state.T_wc)
     elapsed = time.perf_counter() - t0
     n = len(est)

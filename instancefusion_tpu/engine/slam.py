@@ -482,29 +482,58 @@ def step_seg(
     """
     assert cfg.use_instances, "step_seg requires cfg.use_instances"
     new_state, info = step(cfg, state, depth, color)
+    depth_gated = jnp.where(info.track_ok, depth, jnp.zeros_like(depth))
+    new_state = fuse_segmentation.__wrapped__(
+        cfg, new_state, seg, depth_gated, new_state.T_wc
+    )
+    return new_state, info
 
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def fuse_segmentation(
+    cfg: EngineConfig,
+    state: SlamState,
+    seg: Segmentation,
+    depth: jnp.ndarray,  # the SEG frame's depth (pre-gated by its track_ok)
+    T_mc: jnp.ndarray,  # the SEG frame's tracked (map-frame) pose
+) -> SlamState:
+    """Apply a segmentation result to the live state — the arrival half.
+
+    Split out of `step_seg` so the pipeline can overlap the head with
+    tracking (the reference's asynchronous Mask R-CNN thread, SURVEY.md
+    §3.2 "Pipeline overlap"): the head is dispatched on frame i without
+    fetching, the result consumed here on frame i+1 against that frame's
+    OWN depth and pose (geometrically exact voting) while the instance
+    association uses the current — at most one frame newer — predicted-id
+    image.  Steps 2-5 of the step_seg pipeline (mask refine, predicted-id
+    sample, MXU IoU association + table update, Boyer-Moore voting).
+    """
+    assert cfg.use_instances
     mask_id = labels.refine_mask_edges(seg.mask_id, depth)
     seg = seg._replace(mask_id=mask_id)
-
     pred_gid = labels.sample_nearest(
-        new_state.votes,
-        new_state.volume,
-        new_state.pred.vertex_w,
-        new_state.pred.valid,
+        state.votes,
+        state.volume,
+        state.pred.vertex_w,
+        state.pred.valid,
         cfg.tsdf,
     )
-    gid_image, table = inst.associate(new_state.table, seg, pred_gid, cfg.instances)
-    depth_gated = jnp.where(info.track_ok, depth, jnp.zeros_like(depth))
+    gid_image, table = inst.associate(state.table, seg, pred_gid, cfg.instances)
     votes = labels.fuse(
-        new_state.votes,
-        new_state.volume,
+        state.votes,
+        state.volume,
         gid_image,
-        depth_gated,
-        new_state.T_wc,
+        depth,
+        T_mc,
         cfg.intrinsics,
         cfg.tsdf,
     )
-    return new_state._replace(votes=votes, table=table), info
+    return state._replace(votes=votes, table=table)
+
+
+fuse_segmentation_donated = jax.jit(
+    fuse_segmentation.__wrapped__, static_argnums=(0,), donate_argnums=(1,)
+)
 
 
 # Donated step variants: the input state's buffers are released to XLA, so

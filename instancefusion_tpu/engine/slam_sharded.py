@@ -74,6 +74,48 @@ def init_state(cfg: EngineConfig, mesh: Mesh, T_init_wc=None) -> ShardedSlamStat
     ))
 
 
+def _map_update(cfg: EngineConfig, mesh: Mesh, state, depth_masked, color, T_new):
+    """Shared fuse+predict: fast fused path (use_splat) or marched golden."""
+    intr = cfg.intrinsics
+    if cfg.raycast.use_splat:
+        prior = jnp.where(depth_masked > 0.0, depth_masked, state.pred.depth)
+        pred_color = cfg.use_color and (
+            cfg.raycast.predict_color or cfg.icp.rgb_weight > 0.0
+        )
+        return shard.fused_step_map(
+            state.volume, depth_masked,
+            color if cfg.use_color else None,
+            prior, T_new, mesh, intr, cfg.tsdf, cfg.raycast,
+            pred_color=pred_color,
+        )
+    volume = shard.integrate(
+        state.volume, depth_masked,
+        color if cfg.use_color else None,
+        T_new, mesh, intr, cfg.tsdf,
+    )
+    pred = shard.raycast(
+        volume, T_new, mesh, intr, cfg.tsdf, cfg.raycast,
+        with_color=cfg.use_color,
+    )
+    return volume, pred
+
+
+def _donated(step):
+    """Donate the input state; unalias the pose trio (slam._make_donated)."""
+
+    def wrapper(state, *args):
+        new_state, info = step(state, *args)
+        t_wc, t_pred, t_prev = jax.lax.optimization_barrier(
+            (new_state.T_wc, new_state.pred_T_wc, new_state.T_prev_wc)
+        )
+        return (
+            new_state._replace(T_wc=t_wc, pred_T_wc=t_pred, T_prev_wc=t_prev),
+            info,
+        )
+
+    return jax.jit(wrapper, donate_argnums=(0,))
+
+
 def make_step(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
     """Build the jitted sharded step for (cfg, mesh).
 
@@ -116,31 +158,7 @@ def make_step(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
         d0 = pyr[0]["depth"]
         fused = jnp.where(fuse_ok, tsdf_integrate_count(d0), 0.0)
         depth_masked = jnp.where(fuse_ok, d0, jnp.zeros_like(d0))
-        if cfg.raycast.use_splat:
-            prior = jnp.where(depth_masked > 0.0, depth_masked, state.pred.depth)
-            pred_color = cfg.use_color and (
-                cfg.raycast.predict_color or cfg.icp.rgb_weight > 0.0
-            )
-            volume, pred = shard.fused_step_map(
-                state.volume, depth_masked,
-                color if cfg.use_color else None,
-                prior, T_new, mesh, intr, cfg.tsdf, cfg.raycast,
-                pred_color=pred_color,
-            )
-        else:
-            volume = shard.integrate(
-                state.volume,
-                depth_masked,
-                color if cfg.use_color else None,
-                T_new,
-                mesh,
-                intr,
-                cfg.tsdf,
-            )
-            pred = shard.raycast(
-                volume, T_new, mesh, intr, cfg.tsdf, cfg.raycast,
-                with_color=cfg.use_color,
-            )
+        volume, pred = _map_update(cfg, mesh, state, depth_masked, color, T_new)
         new_state = state._replace(
             T_wc=T_new,
             volume=volume,
@@ -160,26 +178,43 @@ def make_step(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
         )
         return new_state, info
 
-    if donate:
-        # Same buffer-unaliasing trio as slam._make_donated: the pose
-        # leaves must come back in distinct buffers for the next donation.
-        def wrapper(state, depth, color):
-            new_state, info = step(state, depth, color)
-            t_wc, t_pred, t_prev = jax.lax.optimization_barrier(
-                (new_state.T_wc, new_state.pred_T_wc, new_state.T_prev_wc)
-            )
-            return (
-                new_state._replace(
-                    T_wc=t_wc, pred_T_wc=t_pred, T_prev_wc=t_prev
-                ),
-                info,
-            )
-
-        return jax.jit(wrapper, donate_argnums=(0,))
-    return jax.jit(step)
+    return _donated(step) if donate else jax.jit(step)
 
 
-def make_step_seg(cfg: EngineConfig, mesh: Mesh):
+def make_step_gt(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
+    """Sharded tracking bypass: fuse+predict at an external pose.
+
+    The sharded analog of engine/slam.step_gt (the reference's
+    GroundTruthOdometry mode) — signature (state, depth, color, T_gt_wc).
+    """
+    intr = cfg.intrinsics
+
+    def step_gt(state: ShardedSlamState, depth, color, T_gt_wc):
+        pyr = preprocess.build_frame_pyramid(depth, intr, cfg.preprocess, 1)
+        d0 = pyr[0]["depth"]
+        fused = tsdf_integrate_count(d0)
+        volume, pred = _map_update(cfg, mesh, state, d0, color, T_gt_wc)
+        new_state = state._replace(
+            T_wc=T_gt_wc,
+            volume=volume,
+            pred=pred,
+            pred_T_wc=T_gt_wc,
+            frame_idx=state.frame_idx + 1,
+            lost_frames=jnp.zeros((), jnp.int32),
+            T_prev_wc=state.T_wc,
+        )
+        info = StepInfo(
+            inliers=jnp.zeros(()),
+            residual=jnp.zeros(()),
+            track_ok=jnp.ones((), bool),
+            fused_voxels=fused,
+        )
+        return new_state, info
+
+    return _donated(step_gt) if donate else jax.jit(step_gt)
+
+
+def make_step_seg(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
     """Sharded `step` + distributed instance fusion (engine/slam.step_seg).
 
     The per-voxel votes shard with the block payloads (zero-communication
@@ -195,7 +230,6 @@ def make_step_seg(cfg: EngineConfig, mesh: Mesh):
     base = make_step(cfg, mesh)
     intr = cfg.intrinsics
 
-    @jax.jit
     def step_seg(state: ShardedSlamState, depth, color, seg):
         new_state, info = base(state, depth, color)
         mask_id = labels.refine_mask_edges(seg.mask_id, depth)
@@ -214,4 +248,37 @@ def make_step_seg(cfg: EngineConfig, mesh: Mesh):
         )
         return new_state._replace(votes=votes, table=table), info
 
-    return step_seg
+    return _donated(step_seg) if donate else jax.jit(step_seg)
+
+
+def make_fuse_segmentation(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
+    """Sharded arrival-half of instance fusion (engine/slam.fuse_segmentation).
+
+    Signature (state, seg, depth, T_mc) -> state.  Used by the pipeline's
+    asynchronous segmentation overlap: voting runs against the SEG
+    frame's own depth/pose into the sharded votes; association uses the
+    current pmax-composited predicted-id image.
+    """
+    assert cfg.use_instances, "make_fuse_segmentation requires use_instances"
+    from instancefusion_tpu.engine import instances as inst
+    from instancefusion_tpu.ops import labels
+
+    intr = cfg.intrinsics
+
+    def fuse_seg(state: ShardedSlamState, seg, depth, T_mc):
+        mask_id = labels.refine_mask_edges(seg.mask_id, depth)
+        seg_r = seg._replace(mask_id=mask_id)
+        pred_gid = shard.sample_labels(
+            state.votes, state.volume,
+            state.pred.vertex_w, state.pred.valid, mesh, cfg.tsdf,
+        )
+        gid_image, table = inst.associate(
+            state.table, seg_r, pred_gid, cfg.instances
+        )
+        votes = shard.fuse_labels(
+            state.votes, state.volume, gid_image, depth, T_mc,
+            mesh, intr, cfg.tsdf,
+        )
+        return state._replace(votes=votes, table=table)
+
+    return jax.jit(fuse_seg, donate_argnums=(0,) if donate else ())

@@ -58,7 +58,7 @@ class ShardedBlockMap(NamedTuple):
     overflow: jnp.ndarray  # i32[S]
     sdf: jnp.ndarray  # f32[S*Cl, B^3]
     weight: jnp.ndarray  # f32[S*Cl, B^3]
-    color: jnp.ndarray  # f32[S*Cl, B^3, 3]
+    color: jnp.ndarray  # f32[S*Cl, 3*B^3] packed [r|g|b] (blocks.pack_color)
 
 
 def allocate(cfg: TsdfConfig, num_shards: int, with_color: bool = True) -> ShardedBlockMap:
