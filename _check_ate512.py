@@ -30,8 +30,31 @@ cfg = EngineConfig(
 )
 
 n = int(os.environ.get("N", "40"))
-poses = synthetic.orbit_trajectory(n)
-frames = [synthetic.render_frame(poses[i], cfg.intrinsics) for i in range(n)]
+# NOISY=1: Kinect noise model + fr1-class handheld motion (the stress
+# rig — r3 VERDICT item 4); default stays the clean orbit for parity
+# with earlier rounds' numbers.
+noisy = os.environ.get("NOISY", "0") == "1"
+if noisy:
+    import dataclasses
+
+    import jax
+
+    cfg = dataclasses.replace(
+        cfg,
+        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=True,
+                      assoc_every=(2, 2, 4), vel_seed=0.8),
+    )
+    poses = synthetic.handheld_trajectory(n)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    frames = [
+        synthetic.add_sensor_noise(
+            synthetic.render_frame(poses[i], cfg.intrinsics), keys[i]
+        )
+        for i in range(n)
+    ]
+else:
+    poses = synthetic.orbit_trajectory(n)
+    frames = [synthetic.render_frame(poses[i], cfg.intrinsics) for i in range(n)]
 state = slam.init_state(cfg, poses[0])
 errs = []
 for i in range(n):
@@ -39,7 +62,7 @@ for i in range(n):
     T = np.asarray(state.T_wc)
     errs.append(float(np.linalg.norm(T[:3, 3] - np.asarray(poses[i])[:3, 3])))
 errs = np.array(errs)
-print(f"trans err: mean {errs.mean()*1000:.2f} mm  max {errs.max()*1000:.2f} mm"
+print(f"noisy={noisy} trans err: mean {errs.mean()*1000:.2f} mm  max {errs.max()*1000:.2f} mm"
       f"  n_active {int(state.volume.n_active)} overflow {int(state.volume.overflow)}")
-assert errs.max() < 0.02, "tracking drifted"
+assert errs.max() < (0.03 if noisy else 0.02), "tracking drifted"
 print("OK")

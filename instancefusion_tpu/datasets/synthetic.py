@@ -79,8 +79,11 @@ def scene_sdf(p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.min(ds, axis=-1), obj
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _render_frame_impl(T_wc: jnp.ndarray, intr: Intrinsics, palette: jnp.ndarray) -> Frame:
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _render_frame_impl(
+    T_wc: jnp.ndarray, intr: Intrinsics, palette: jnp.ndarray,
+    texture: bool = False,
+) -> Frame:
     """Sphere-trace the analytic SDF to exact depth + flat-shaded color.
 
     `palette` is a traced argument on purpose: this environment's axon TPU
@@ -120,13 +123,26 @@ def _render_frame_impl(T_wc: jnp.ndarray, intr: Intrinsics, palette: jnp.ndarray
     light = light / jnp.linalg.norm(light)
     shade = 0.55 + 0.45 * jnp.clip(-jnp.sum(n * light, axis=-1), 0.0, 1.0)
     base = jax.nn.one_hot(obj, palette.shape[0], dtype=jnp.float32) @ palette
+    if texture:
+        # World-anchored procedural texture (multi-sine): gives flat
+        # surfaces photometric gradients so the rgb odometry term has
+        # something to lock onto (the flat-shaded render is featureless
+        # on walls).
+        tex = (
+            0.80
+            + 0.12 * jnp.sin(17.0 * p[..., 0] + 5.0 * p[..., 2])
+            + 0.08 * jnp.sin(23.0 * p[..., 1] - 7.0 * p[..., 0])
+        )
+        base = base * tex[..., None]
     color = jnp.where(hit[..., None], base * shade[..., None], 0.0)
     instance = jnp.where(hit, obj, -1).astype(jnp.int32)
     return Frame(depth=depth, color=color, instance=instance, T_wc=T_wc)
 
 
-def render_frame(T_wc: jnp.ndarray, intr: Intrinsics) -> Frame:
-    return _render_frame_impl(T_wc, intr, _COLORS)
+def render_frame(
+    T_wc: jnp.ndarray, intr: Intrinsics, texture: bool = False
+) -> Frame:
+    return _render_frame_impl(T_wc, intr, _COLORS, texture)
 
 
 def orbit_trajectory(
@@ -172,3 +188,111 @@ def make_sequence(num_frames: int, intr: Intrinsics):
     poses = orbit_trajectory(num_frames)
     for i in range(num_frames):
         yield render_frame(poses[i], intr)
+
+
+# ---------------------------------------------------------------------------
+# Sensor noise + aggressive motion (the fr1-class stress rig)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def add_sensor_noise(
+    frame: Frame,
+    key: jnp.ndarray,
+    sigma_base: float = 0.0012,
+    sigma_z2: float = 0.0019,
+    edge_dropout: float = 0.6,
+    speckle_dropout: float = 0.002,
+) -> Frame:
+    """Kinect-class depth corruption for the analytic renders.
+
+    The golden ATE evidence was noise-free (r3 VERDICT Weak #1); this
+    applies the standard structured-light error model so accuracy gates
+    run on data that actually stresses ICP basins and TSDF fusion:
+
+    - axial Gaussian noise with variance growing as z^2 (Khoshelham &
+      Elberink's sigma_z ~ 0.0012 + 0.0019 (z - 0.4)^2 m Kinect fit);
+    - quantization to the TUM 16-bit depth scale (1/5000 m steps);
+    - edge speckle: pixels whose 3x3 depth neighborhood jumps more than
+      4 cm (occlusion boundaries) drop out with prob `edge_dropout` —
+      structured light cannot match across disparity discontinuities;
+    - uniform salt dropout with prob `speckle_dropout`.
+    """
+    d = frame.depth
+    k1, k2, k3 = jax.random.split(key, 3)
+    valid = d > 0.0
+    z = jnp.maximum(d - 0.4, 0.0)
+    sigma = sigma_base + sigma_z2 * z * z
+    noisy = d + sigma * jax.random.normal(k1, d.shape, d.dtype)
+    # TUM depth factor 5000: quantize to 0.2 mm steps.
+    noisy = jnp.round(noisy * 5000.0) / 5000.0
+
+    # Occlusion-edge mask from the max 3x3 neighborhood jump.
+    pad = jnp.pad(d, 1, mode="edge")
+    jump = jnp.zeros_like(d)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nb = pad[1 + dy : 1 + dy + d.shape[0], 1 + dx : 1 + dx + d.shape[1]]
+            jump = jnp.maximum(jump, jnp.abs(nb - d))
+    edge = jump > 0.04
+    drop_e = edge & (jax.random.uniform(k2, d.shape) < edge_dropout)
+    drop_s = jax.random.uniform(k3, d.shape) < speckle_dropout
+    keep = valid & jnp.logical_not(drop_e) & jnp.logical_not(drop_s)
+    return frame._replace(depth=jnp.where(keep, jnp.maximum(noisy, 0.0), 0.0))
+
+
+def handheld_trajectory(
+    num_frames: int,
+    radius: float = 0.45,
+    sweep: float = 1.6,
+    shake_rot: float = 0.02,
+    shake_trans: float = 0.012,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """fr1-class aggressive handheld motion: fast arc + rotational shake.
+
+    The gentle `orbit_trajectory` moves millimeters per frame; fr1_desk's
+    handheld camera turns over a degree per frame with jerky translation.
+    This sweeps the same arc faster (sweep/num_frames rad per frame) and
+    superimposes smooth high-frequency SE(3) shake (multi-sine, so it is
+    deterministic and velocity stays continuous): peak ~shake_rot rad and
+    ~shake_trans m frame-to-frame deltas.
+    """
+    base = orbit_trajectory(num_frames, radius=radius, sweep=sweep, dtype=dtype)
+    ts = jnp.linspace(0.0, 1.0, num_frames).astype(dtype)
+
+    def shake(i):
+        t = ts[i]
+        xi = jnp.stack([
+            shake_trans * jnp.sin(t * 37.0),
+            shake_trans * jnp.sin(t * 29.0 + 1.3),
+            shake_trans * 0.6 * jnp.sin(t * 43.0 + 0.4),
+            shake_rot * jnp.sin(t * 31.0 + 2.1),
+            shake_rot * jnp.sin(t * 41.0 + 0.9),
+            shake_rot * 0.5 * jnp.sin(t * 23.0 + 1.7),
+        ]).astype(dtype)
+        return jnp.matmul(base[i], se3_exp(xi))
+
+    return jax.vmap(shake)(jnp.arange(num_frames))
+
+
+def make_noisy_sequence(
+    num_frames: int,
+    intr: Intrinsics,
+    seed: int = 0,
+    aggressive: bool = True,
+    **noise_kw,
+):
+    """Generator of noise-corrupted Frames along the handheld trajectory.
+
+    Frames carry the EXACT ground-truth poses (for ATE) but corrupted
+    depth; colors are left clean (the reference's RGB noise is negligible
+    next to its depth noise).
+    """
+    poses = (
+        handheld_trajectory(num_frames) if aggressive
+        else orbit_trajectory(num_frames)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_frames)
+    for i in range(num_frames):
+        yield add_sensor_noise(render_frame(poses[i], intr), keys[i], **noise_kw)

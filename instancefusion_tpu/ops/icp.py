@@ -72,8 +72,11 @@ def associate(
     p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
     p_tc = transform_points(T_tgt_cw, p_w)
     u, v, z = project(intr, p_tc)
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
+    # Round-half-up (ceil(x - 0.5)) — the same convention as the Pallas
+    # gather kernel's one-hot window (du in (-0.5, 0.5]), so both paths
+    # pick the identical target pixel at exact .5 boundaries.
+    ui = jnp.ceil(u - 0.5).astype(jnp.int32)
+    vi = jnp.ceil(v - 0.5).astype(jnp.int32)
     in_img = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
     sel_flat = valid_src.reshape(-1) & in_img & (z > 0.0)
     if (
@@ -185,25 +188,33 @@ def build_normal_equations(
     )
 
 
-def build_rgb_equations(
-    vmap_src_c: jnp.ndarray,
-    intensity_src: jnp.ndarray,  # (H,W)
-    valid_src: jnp.ndarray,
+def intensity_gradients(tgt_intensity: jnp.ndarray):
+    """Central-difference image gradients of the predicted intensity."""
+    gx = 0.5 * (jnp.roll(tgt_intensity, -1, 1) - jnp.roll(tgt_intensity, 1, 1))
+    gy = 0.5 * (jnp.roll(tgt_intensity, -1, 0) - jnp.roll(tgt_intensity, 1, 0))
+    return gx, gy
+
+
+def associate_rgb(
+    vmap_src_c: jnp.ndarray,  # (H,W,3)
+    valid_src: jnp.ndarray,  # (H,W)
     tgt_intensity: jnp.ndarray,  # (Ht,Wt) predicted intensity
-    tgt_valid: jnp.ndarray,
+    tgt_gx: jnp.ndarray,  # (Ht,Wt) its image gradients
+    tgt_gy: jnp.ndarray,
+    tgt_valid: jnp.ndarray,  # (Ht,Wt)
     T_est_wc: jnp.ndarray,
     T_tgt_cw: jnp.ndarray,
     intr: Intrinsics,
-    cfg: IcpConfig,
 ):
-    """Photometric term: r = I_tgt(proj(p)) - I_src(x).
+    """Gather the photometric targets once per association round.
 
-    Jacobian chain: dI/d(u,v) (image gradients of the predicted intensity,
-    sampled at the projection) x d(u,v)/dp_c x dp_c/dxi.
+    Fixed-correspondence photometric term (same schedule as the
+    geometric `associate`): the target intensity/gradients are sampled at
+    the projection under the CURRENT pose and reused for the inner GN
+    steps — eliminating the per-iteration XLA gathers that previously
+    made rgb_weight>0 disable the fused TPU inner loop.  Returns
+    (i_t (HW,), gx (HW,), gy (HW,), rgb_valid (HW,) bool).
     """
-    gx = 0.5 * (jnp.roll(tgt_intensity, -1, 1) - jnp.roll(tgt_intensity, 1, 1))
-    gy = 0.5 * (jnp.roll(tgt_intensity, -1, 0) - jnp.roll(tgt_intensity, 1, 0))
-
     p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
     p_tc = transform_points(T_tgt_cw, p_w)
     u, v, z = project(intr, p_tc)
@@ -213,27 +224,43 @@ def build_rgb_equations(
     uic = jnp.clip(ui, 0, intr.width - 1)
     vic = jnp.clip(vi, 0, intr.height - 1)
     flat = vic * intr.width + uic
-    it = tgt_intensity.reshape(-1)[flat]
-    gxs = gx.reshape(-1)[flat]
-    gys = gy.reshape(-1)[flat]
+    i_t = tgt_intensity.reshape(-1)[flat]
+    gxs = tgt_gx.reshape(-1)[flat]
+    gys = tgt_gy.reshape(-1)[flat]
     tvalid = tgt_valid.reshape(-1)[flat]
+    mask = valid_src.reshape(-1) & in_img & (z > 0.0) & tvalid
+    return i_t, gxs, gys, mask
 
-    r = it - intensity_src.reshape(-1)
-    zsafe = jnp.maximum(z, 1e-6)
-    # du/dp_c, dv/dp_c rows (pinhole):
-    gpx = gxs * intr.fx / zsafe
-    gpy = gys * intr.fy / zsafe
+
+def reduce_rgb_equations(
+    vmap_src_c: jnp.ndarray,  # (H,W,3)
+    intensity_src: jnp.ndarray,  # (H,W)
+    i_t: jnp.ndarray,  # (HW,) gathered target intensity (associate_rgb)
+    gx_t: jnp.ndarray,  # (HW,) gathered target gradients
+    gy_t: jnp.ndarray,
+    rgb_valid: jnp.ndarray,  # (HW,) bool
+    T_est_wc: jnp.ndarray,
+    T_tgt_cw: jnp.ndarray,
+    intr: Intrinsics,
+):
+    """Photometric GN system on FIXED gathered targets: r = I_t - I_src.
+
+    Jacobian chain: dI/d(u,v) x d(u,v)/dp_c x dp_c/dxi, recomputed per
+    pose; everything elementwise + one MXU matmul, zero gathers.
+    """
+    p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
+    p_tc = transform_points(T_tgt_cw, p_w)
+    zsafe = jnp.maximum(p_tc[:, 2], 1e-6)
+    r = i_t - intensity_src.reshape(-1)
+    gpx = gx_t * intr.fx / zsafe
+    gpy = gy_t * intr.fy / zsafe
     gpz = -(gpx * p_tc[:, 0] + gpy * p_tc[:, 1]) / zsafe
     grad_pc = jnp.stack([gpx, gpy, gpz], axis=-1)  # dI/dp_c (3,)
     # dp_c/dxi with left world increment: dp_c = R_cw (dv - p_w x dw)
     R_cw = T_tgt_cw[:3, :3]
     gw = jnp.matmul(grad_pc, R_cw, precision=_PREC)  # dI/dp_w
-    Jv = gw
-    Jw = jnp.cross(p_w, gw)
-    J = jnp.concatenate([Jv, Jw], axis=-1)
-
-    mask = valid_src.reshape(-1) & in_img & (z > 0.0) & tvalid
-    m = mask.astype(jnp.float32)
+    J = jnp.concatenate([gw, jnp.cross(p_w, gw)], axis=-1)
+    m = rgb_valid.astype(jnp.float32) * jnp.where(p_tc[:, 2] > 0.0, 1.0, 0.0)
     Jm = J * m[:, None]
     H6 = jnp.matmul(Jm.T, Jm, precision=_PREC)
     b6 = -jnp.matmul(Jm.T, (r * m)[:, None], precision=_PREC)[:, 0]
@@ -287,17 +314,18 @@ def track(
         intr_k = (intr.fx / s_l, intr.fy / s_l, intr.cx / s_l, intr.cy / s_l)
         if use_rgb:
             ti = decimate(pred_intensity, s_l)
+            ti_gx, ti_gy = intensity_gradients(ti)
 
         def inner_body(_, carry):
-            T, _, _, q_w, n_t, a_ok = carry
+            T, _, _, q_w, n_t, a_ok, rgb_fix = carry
             H6, b6, nin, rsum = reduce_equations(
                 src["vmap"], src["nmap"], src["valid"],
                 q_w, n_t, a_ok, T, cfg,
             )
             if use_rgb:
-                Hr, br, _, _ = build_rgb_equations(
-                    src["vmap"], src["intensity"], src["valid"],
-                    ti, tval, T, T_pred_cw, intr_l, cfg,
+                Hr, br, _, _ = reduce_rgb_equations(
+                    src["vmap"], src["intensity"], *rgb_fix,
+                    T, T_pred_cw, intr_l,
                 )
                 # Scale the photometric system into metric units.
                 wr = cfg.rgb_weight
@@ -307,18 +335,15 @@ def track(
             ok = nin >= cfg.min_valid
             xi = jnp.where(ok, xi, jnp.zeros_like(xi))
             T_new = jnp.matmul(se3_exp(xi), T, precision=_PREC)
-            return T_new, nin, rsum, q_w, n_t, a_ok
+            return T_new, nin, rsum, q_w, n_t, a_ok, rgb_fix
 
-        # Whole-inner-loop fusion (TPU, geometric-only): the fixed-
-        # correspondence GN steps — linearization, 29-term reduction,
-        # damped 6x6 Cholesky, exp(xi) pose update — run inside ONE
-        # Pallas launch with the pose in SMEM (ops/pallas/icp.py
-        # gn_iterations), replacing ~20 small XLA ops per step.
-        use_fused_inner = (
-            cfg.use_pallas
-            and not use_rgb
-            and jax.default_backend() == "tpu"
-        )
+        # Whole-inner-loop fusion (TPU): the fixed-correspondence GN
+        # steps — linearization (geometric + photometric), 29-term
+        # reduction, damped 6x6 Cholesky, exp(xi) pose update — run
+        # inside ONE Pallas launch with the pose in SMEM
+        # (ops/pallas/icp.py gn_iterations), replacing ~20 small XLA ops
+        # per step.
+        use_fused_inner = cfg.use_pallas and jax.default_backend() == "tpu"
 
         def outer_body(_, carry):
             T, nin, rsum = carry
@@ -327,12 +352,31 @@ def track(
                 T, T_pred_cw, intr_l, cfg,
                 tgt_depth=td, intr_kref=intr_k,
             )
+            if use_rgb:
+                rgb_fix = associate_rgb(
+                    src["vmap"], src["valid"], ti, ti_gx, ti_gy, tval,
+                    T, T_pred_cw, intr_l,
+                )
+            else:
+                rgb_fix = None
             if use_fused_inner:
                 from instancefusion_tpu.ops.pallas.icp import gn_iterations
 
                 gate = (
                     src["valid"].reshape(-1) & a_ok
                 ).astype(jnp.float32)
+                rgb_kw = {}
+                if use_rgb:
+                    i_t, gx_t, gy_t, rgb_ok = rgb_fix
+                    rgb_kw = dict(
+                        rgb=(
+                            src["intensity"].reshape(-1), i_t, gx_t, gy_t,
+                            rgb_ok.astype(jnp.float32),
+                        ),
+                        T_pred_cw=T_pred_cw,
+                        rgb_intr=(intr_l.fx, intr_l.fy),
+                        rgb_weight=cfg.rgb_weight,
+                    )
                 T, nin, rsum = gn_iterations(
                     src["vmap"].reshape(-1, 3), src["nmap"].reshape(-1, 3),
                     q_w, n_t, gate, T,
@@ -342,12 +386,13 @@ def track(
                     huber_delta=cfg.huber_delta,
                     damping=cfg.damping,
                     min_valid=cfg.min_valid,
+                    **rgb_kw,
                 )
                 return T, nin, rsum
-            T, nin, rsum, _, _, _ = jax.lax.fori_loop(
+            T, nin, rsum, _, _, _, _ = jax.lax.fori_loop(
                 0, inner_n,
                 inner_body,
-                (T, nin, rsum, q_w, n_t, a_ok),
+                (T, nin, rsum, q_w, n_t, a_ok, rgb_fix),
             )
             return T, nin, rsum
 

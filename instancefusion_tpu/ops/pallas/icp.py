@@ -165,9 +165,13 @@ def _gather_kernel(
         nx = jnp.sum(oh_v * m1[2 * thw : 3 * thw], axis=0)
         ny = jnp.sum(oh_v * m1[3 * thw : 4 * thw], axis=0)
         nz = jnp.sum(oh_v * m1[4 * thw : 5 * thw], axis=0)
-        # Reconstruct q_w from the gathered depth at the rounded pixel.
-        ur = jnp.round(u_row[0, :])
-        vr = jnp.round(v_row[0, :])
+        # Reconstruct q_w from the gathered depth at the SAME pixel the
+        # one-hot window selected: du in (-0.5, 0.5] means col =
+        # ceil(u - 0.5) (round-half-up) — jnp.round would round half-to-
+        # even and pick pixel k while the gather read k+1 at exact .5
+        # boundaries (r3 advisor finding).
+        ur = jnp.ceil(u_row[0, :] - 0.5)
+        vr = jnp.ceil(v_row[0, :] - 0.5)
         xc = (ur - cx) / fx * d
         yc = (vr - cy) / fy * d
         ok = (d > 0.0) & (nx * nx + ny * ny + nz * nz > 0.25)
@@ -245,22 +249,18 @@ def gather_target_maps(
 
 
 def _gn_kernel(
-    # tensor inputs, (R, 128) pixel planes
-    vx, vy, vz,  # source vertices, camera frame
-    nx, ny, nz,  # source normals, camera frame
-    qx, qy, qz,  # associated target vertices, world frame
-    tx, ty, tz,  # associated target normals, world frame
-    m_ref,  # pose-independent gate (src valid & assoc valid), f32
-    T_ref,  # (1, 128): rows 0..15 = T_init (row-major 4x4)
-    out_ref,  # (1, 128): rows 0..15 = T_out, 16 = inliers, 17 = res_sum
-    smem,  # SMEM scratch: [0:16] pose, [16:48] accumulator, [48] nin, [49] rsum
-    *,
+    # tensor inputs, (R, 128) pixel planes; with use_rgb, 5 more planes
+    # follow m_ref: source intensity, gathered target intensity, target
+    # image gradients gx/gy, and the photometric gate.
+    *refs,
     inner_n: int,
     dist_thresh: float,
     angle_thresh: float,
     huber_delta: float,
     damping: float,
     min_valid: int,
+    use_rgb: bool = False,
+    rgb_weight: float = 0.0,
 ):
     """`inner_n` Gauss-Newton steps on fixed correspondences, one launch.
 
@@ -273,7 +273,19 @@ def _gn_kernel(
     iteration solves the damped 6x6 system by an unrolled scalar Cholesky
     and applies the exp(xi) update (Rodrigues, scalars) — zero
     host<->device and zero XLA-op traffic between iterations.
+
+    With `use_rgb` the photometric term (the reference's `rgbStep`) joins
+    the SAME accumulator: residual I_t - I_src against targets gathered
+    at association time (fixed correspondences, like the geometric half),
+    with the Jacobian chain dI/d(u,v) x d(u,v)/dp_c x dp_c/dxi recomputed
+    from the live SMEM pose each iteration.
     """
+    if use_rgb:
+        (vx, vy, vz, nx, ny, nz, qx, qy, qz, tx, ty, tz, m_ref,
+         ris, rit, rgx, rgy, rgate, T_ref, out_ref, smem) = refs
+    else:
+        (vx, vy, vz, nx, ny, nz, qx, qy, qz, tx, ty, tz, m_ref,
+         T_ref, out_ref, smem) = refs
     it = pl.program_id(0)
     tile = pl.program_id(1)
     ntiles = pl.num_programs(1)
@@ -285,6 +297,10 @@ def _gn_kernel(
         row = T_ref[0:1, :]
         for k in range(16):
             smem[k] = jnp.sum(jnp.where(iota == k, row, 0.0))
+        if use_rgb:
+            # T_pred_cw (12) + fx, fy at lanes 32..45 -> smem[50..63].
+            for k in range(14):
+                smem[50 + k] = jnp.sum(jnp.where(iota == 32 + k, row, 0.0))
 
     @pl.when(tile == 0)
     def _reset_acc():
@@ -325,13 +341,47 @@ def _gn_kernel(
     j4 = pz * txv - px * tzv
     j5 = px * tyv - py * txv
     j = (txv, tyv, tzv, j3, j4, j5)
+    if use_rgb:
+        # Photometric contributions into the same accumulator.  World
+        # point -> prediction camera via the SMEM-stashed T_pred_cw.
+        c00, c01, c02 = smem[50], smem[51], smem[52]
+        c10, c11, c12 = smem[53], smem[54], smem[55]
+        c20, c21, c22 = smem[56], smem[57], smem[58]
+        d0, d1, d2 = smem[59], smem[60], smem[61]
+        fx, fy = smem[62], smem[63]
+        pcx = c00 * px + c01 * py + c02 * pz + d0
+        pcy = c10 * px + c11 * py + c12 * pz + d1
+        pcz = c20 * px + c21 * py + c22 * pz + d2
+        zs = jnp.maximum(pcz, 1e-6)
+        gpx = rgx[:] * fx / zs
+        gpy = rgy[:] * fy / zs
+        gpz = -(gpx * pcx + gpy * pcy) / zs
+        # dI/dp_w = R_cw^T grad_pc
+        gwx = c00 * gpx + c10 * gpy + c20 * gpz
+        gwy = c01 * gpx + c11 * gpy + c21 * gpz
+        gwz = c02 * gpx + c12 * gpy + c22 * gpz
+        rc = rit[:] - ris[:]
+        mrg = rgate[:] * jnp.where(pcz > 0.0, 1.0, 0.0) * rgb_weight
+        jr = (
+            gwx, gwy, gwz,
+            py * gwz - pz * gwy,
+            pz * gwx - px * gwz,
+            px * gwy - py * gwx,
+        )
+
     k = 0
     for a in range(6):
         for b in range(a, 6):
-            smem[16 + k] = smem[16 + k] + jnp.sum(j[a] * j[b] * w)
+            s = jnp.sum(j[a] * j[b] * w)
+            if use_rgb:
+                s = s + jnp.sum(jr[a] * jr[b] * mrg)
+            smem[16 + k] = smem[16 + k] + s
             k += 1
     for a in range(6):
-        smem[16 + 21 + a] = smem[16 + 21 + a] + jnp.sum(j[a] * (-r) * w)
+        s = jnp.sum(j[a] * (-r) * w)
+        if use_rgb:
+            s = s + jnp.sum(jr[a] * (-rc) * mrg)
+        smem[16 + 21 + a] = smem[16 + 21 + a] + s
     smem[16 + 27] = smem[16 + 27] + jnp.sum(gate)
     smem[16 + 28] = smem[16 + 28] + jnp.sum(jnp.abs(r) * w)
 
@@ -441,7 +491,7 @@ def _gn_kernel(
     jax.jit,
     static_argnames=(
         "inner_n", "dist_thresh", "angle_thresh", "huber_delta", "damping",
-        "min_valid", "interpret",
+        "min_valid", "interpret", "rgb_intr", "rgb_weight",
     ),
 )
 def gn_iterations(
@@ -458,15 +508,23 @@ def gn_iterations(
     huber_delta: float,
     damping: float,
     min_valid: int,
+    rgb=None,  # (i_src, i_tgt, gx_tgt, gy_tgt, rgb_gate), each (N,) f32
+    T_pred_cw: jnp.ndarray | None = None,  # (4,4), required with rgb
+    rgb_intr: tuple | None = None,  # (fx, fy) of the prediction view level
+    rgb_weight: float = 0.0,
     interpret: bool = False,
 ):
     """Run `inner_n` fixed-correspondence GN steps fully in one kernel.
 
-    Returns (T_out (4,4), inliers, res_sum) of the LAST iteration.
+    Returns (T_out (4,4), inliers, res_sum) of the LAST iteration.  With
+    `rgb`, the photometric term (targets gathered at association time)
+    joins the geometric normal equations inside the same launch at weight
+    `rgb_weight` — rgb_weight > 0 no longer leaves the fused path.
     """
     n = vmap_src_c.shape[0]
     rows = -(-n // _LANES)
     rows = -(-rows // _TILE_ROWS) * _TILE_ROWS
+    use_rgb = rgb is not None
     planes = [
         _pad_plane(vmap_src_c[:, 0], rows), _pad_plane(vmap_src_c[:, 1], rows),
         _pad_plane(vmap_src_c[:, 2], rows),
@@ -478,9 +536,18 @@ def gn_iterations(
         _pad_plane(n_t[:, 2], rows),
         _pad_plane(gate.astype(jnp.float32), rows),
     ]
+    if use_rgb:
+        planes += [_pad_plane(x.astype(jnp.float32), rows) for x in rgb]
     T_row = jnp.zeros((1, _LANES), jnp.float32).at[0, :16].set(
         T_init.reshape(-1)
     )
+    if use_rgb:
+        fx, fy = rgb_intr
+        T_row = T_row.at[0, 32:44].set(
+            jnp.concatenate(
+                [T_pred_cw[:3, :3].reshape(-1), T_pred_cw[:3, 3]]
+            )
+        ).at[0, 44].set(fx).at[0, 45].set(fy)
     grid = (inner_n, rows // _TILE_ROWS)
     spec = pl.BlockSpec(
         (_TILE_ROWS, _LANES), lambda i, j: (j, 0), memory_space=pltpu.VMEM
@@ -491,9 +558,10 @@ def gn_iterations(
             _gn_kernel, inner_n=inner_n, dist_thresh=dist_thresh,
             angle_thresh=angle_thresh, huber_delta=huber_delta,
             damping=damping, min_valid=min_valid,
+            use_rgb=use_rgb, rgb_weight=rgb_weight,
         ),
         grid=grid,
-        in_specs=[spec] * 13 + [tspec],
+        in_specs=[spec] * len(planes) + [tspec],
         out_specs=tspec,
         out_shape=jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
         scratch_shapes=[pltpu.SMEM((64,), jnp.float32)],

@@ -106,3 +106,56 @@ def test_normal_equations_zero_at_optimum():
     # H should be positive definite (full 6-dof constraint from the scene).
     eigs = np.linalg.eigvalsh(np.asarray(H6))
     assert eigs.min() > 0
+
+
+def test_photometric_term_end_to_end():
+    """Joint geometric + photometric tracking (the reference's
+    icpStep + rgbStep blend) on a textured noisy sequence: the rgb term
+    runs on the fixed-correspondence path (targets gathered per
+    association round) and tracking stays at geometric-only accuracy or
+    better."""
+    import dataclasses
+
+    import numpy as np
+
+    from instancefusion_tpu.config import RaycastConfig
+    from instancefusion_tpu.datasets import synthetic
+    from instancefusion_tpu.engine import slam
+    from instancefusion_tpu.utils.ate import ate_rmse
+    from tests.helpers import SMALL_CFG, SMALL_INTR, SMALL_TSDF
+
+    base = dataclasses.replace(
+        SMALL_CFG,
+        map_kind="blocks",
+        tsdf=dataclasses.replace(SMALL_TSDF, block_size=8, table_capacity=1728),
+        raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
+                              screen_space_normals=True),
+    )
+    n = 16
+    poses_gt = np.asarray(synthetic.handheld_trajectory(n, shake_rot=0.015,
+                                                        shake_trans=0.008))
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    frames = [
+        synthetic.add_sensor_noise(
+            synthetic.render_frame(jnp.asarray(poses_gt[i]), SMALL_INTR,
+                                   texture=True),
+            keys[i],
+        )
+        for i in range(n)
+    ]
+
+    ates = {}
+    for wr in (0.0, 0.1):
+        cfg = dataclasses.replace(
+            base, icp=dataclasses.replace(base.icp, rgb_weight=wr)
+        )
+        state = slam.init_state(cfg, jnp.asarray(poses_gt[0]))
+        est = []
+        for f in frames:
+            state, info = slam.step(cfg, state, f.depth, f.color)
+            est.append(np.asarray(state.T_wc))
+            assert bool(info.track_ok)
+        ates[wr] = ate_rmse(np.stack(est), poses_gt)
+    # The joint system must not degrade tracking (and both stay bounded).
+    assert ates[0.1] < max(1.2 * ates[0.0], 0.5 * SMALL_TSDF.voxel_size), ates
+    assert ates[0.1] < SMALL_TSDF.voxel_size, ates

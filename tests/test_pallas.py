@@ -324,3 +324,65 @@ def test_gn_iterations_matches_jnp_inner_loop():
     assert abs(float(nin_g) - n_pts) < 1
     # Converged onto the ground-truth perturbation.
     np.testing.assert_allclose(np.asarray(T_got), np.asarray(T_true), atol=5e-3)
+
+
+def test_gn_iterations_rgb_matches_jnp_inner_loop():
+    """The fused GN kernel WITH the photometric term == the jnp
+    fixed-correspondence loop (geometric + rgb joined in one system)."""
+    from instancefusion_tpu.config import IcpConfig
+    from instancefusion_tpu.geometry.camera import Intrinsics
+    from instancefusion_tpu.geometry.se3 import se3_exp
+    from instancefusion_tpu.ops import icp
+    from instancefusion_tpu.ops.pallas.icp import gn_iterations
+
+    key = jax.random.PRNGKey(4)
+    n_pts = 4096
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    q = jax.random.uniform(k1, (n_pts, 3), minval=-1, maxval=1)
+    q = q.at[:, 2].add(3.0)
+    nrm = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    T_true = se3_exp(jnp.array([0.02, -0.01, 0.03, 0.01, -0.02, 0.015]))
+    R, t = T_true[:3, :3], T_true[:3, 3]
+    v = (q - t) @ R
+    nm = nrm @ R
+    gate = jnp.ones((n_pts,), jnp.float32)
+    cfg = IcpConfig(use_pallas=False, huber_delta=0.02, rgb_weight=0.3)
+    T_pred_cw = se3_exp(jnp.array([0.05, 0.02, -0.04, 0.03, 0.01, -0.02]))
+    intr = Intrinsics(fx=200.0, fy=210.0, cx=63.5, cy=31.5, width=128, height=32)
+
+    i_src = jax.random.uniform(k2, (n_pts,))
+    i_t = i_src + 0.05 * jax.random.normal(k3, (n_pts,))
+    gx_t = 0.1 * jax.random.normal(k4, (n_pts,))
+    gy_t = 0.1 * jax.random.normal(k5, (n_pts,))
+    rgb_ok = jnp.ones((n_pts,), bool)
+
+    h_img = n_pts // 128
+    v_img = v.reshape(h_img, 128, 3)
+    n_img = nm.reshape(h_img, 128, 3)
+    val = jnp.ones((h_img, 128), bool)
+    i_img = i_src.reshape(h_img, 128)
+    Tc = jnp.eye(4, dtype=jnp.float32)
+    for _ in range(3):
+        H6, b6, nin, rsum = icp.reduce_equations(
+            v_img, n_img, val, q, nrm, jnp.ones((n_pts,), bool), Tc, cfg
+        )
+        Hr, br, _, _ = icp.reduce_rgb_equations(
+            v_img, i_img, i_t, gx_t, gy_t, rgb_ok, Tc, T_pred_cw, intr
+        )
+        H6 = H6 + cfg.rgb_weight * Hr
+        b6 = b6 + cfg.rgb_weight * br
+        xi = icp.solve_increment(H6, b6, cfg)
+        xi = jnp.where(nin >= cfg.min_valid, xi, jnp.zeros_like(xi))
+        Tc = jnp.matmul(se3_exp(xi), Tc, precision=jax.lax.Precision.HIGHEST)
+
+    T_got, nin_g, _ = gn_iterations(
+        v, nm, q, nrm, gate, jnp.eye(4, dtype=jnp.float32), inner_n=3,
+        dist_thresh=cfg.dist_thresh, angle_thresh=cfg.angle_thresh,
+        huber_delta=cfg.huber_delta, damping=cfg.damping,
+        min_valid=cfg.min_valid,
+        rgb=(i_src, i_t, gx_t, gy_t, rgb_ok.astype(jnp.float32)),
+        T_pred_cw=T_pred_cw, rgb_intr=(intr.fx, intr.fy),
+        rgb_weight=cfg.rgb_weight, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(T_got), np.asarray(Tc), atol=5e-5)
+    assert abs(float(nin_g) - n_pts) < 1
