@@ -167,6 +167,10 @@ def main() -> None:
         fps = nframes / dt
     if _WATCHDOG is not None:
         _WATCHDOG.cancel()
+    # One honest record: the measurement MODE rides along with the number
+    # (chunked offline replay vs per-frame live dispatch, and the color
+    # cadence) so rounds stay comparable — per-frame live mode (chunk=1,
+    # color_every=1) measures ~4-8% below the chunked default here.
     print(
         json.dumps(
             {
@@ -174,6 +178,9 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),
+                "chunk": chunk,
+                "color_every": cfg.color_every,
+                "predict_color": cfg.raycast.predict_color,
             }
         )
     )

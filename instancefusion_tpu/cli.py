@@ -28,7 +28,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--loops", action="store_true", help="enable keyframes + loop closure")
     p.add_argument("--instances", action="store_true",
-                   help="enable instance fusion (synthetic GT masks or seg head)")
+                   help="enable instance fusion (trained seg head by "
+                        "default; see --seg-head)")
+    p.add_argument("--seg-head", default="trained", choices=["trained", "gt"],
+                   help="'trained' runs the packaged network "
+                        "(models/weights); 'gt' feeds ground-truth masks "
+                        "(synthetic only)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=200)
     p.add_argument("--resume", action="store_true")
@@ -144,7 +149,22 @@ def cmd_run(args: argparse.Namespace) -> int:
         cfg = _dc.replace(cfg, map_kind="blocks", track_stamps=True)
 
     segment_fn = None
-    if args.instances and args.dataset == "synthetic":
+    if args.instances and args.seg_head == "trained":
+        # The packaged trained network (models/weights, _train_seghead.py)
+        # — the config-3 real path: head -> masks -> association -> votes.
+        import jax as _jax
+
+        from instancefusion_tpu.models import segmentation as _segm
+
+        params, seg_nc, seg_w = _segm.load_pretrained()
+        k = cfg.instances.max_instances
+        _seg_jit = _jax.jit(
+            lambda rgb: _segm.segment(params, rgb, seg_nc, k, seg_w)
+        )
+
+        def segment_fn(frame):
+            return _seg_jit(frame.color)
+    elif args.instances and args.dataset == "synthetic":
         import jax.numpy as jnp
 
         from instancefusion_tpu.models.segmentation import Segmentation

@@ -130,6 +130,10 @@ class InstanceConfig:
     # single-slot Boyer-Moore streaming majority (ops/labels.py) — same
     # asymptotic answer as a top-k histogram at 1/k the HBM traffic.)
     iou_match_thresh: float = 0.3
+    # A mask whose SECOND-best predicted-region IoU clears this merges the
+    # runner-up table row into the winner (the object was first seen from
+    # two sides and got two rows — engine/instances.find_merges).
+    merge_iou_thresh: float = 0.25
     min_mask_pixels: int = 200
 
 

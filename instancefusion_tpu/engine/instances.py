@@ -169,6 +169,82 @@ def associate(
     return gid_image.reshape(seg.mask_id.shape), table
 
 
+def find_merges(
+    table: InstanceTable,
+    seg: Segmentation,
+    pred_gid: jnp.ndarray,  # i32[H,W]
+    cfg: InstanceConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detect table rows that are one object: (src i32[K], dst i32[K], ok).
+
+    The classic duplicate-instance failure: an object first observed from
+    two disjoint viewpoints gets two table rows, and their voxel votes
+    fight forever (SURVEY.md §4.5 "create / MERGE / confirm").  The
+    evidence that finally exposes it is a single network mask overlapping
+    BOTH predicted regions: for each mask, if the best AND second-best
+    IoU against active class-compatible rows both clear
+    `merge_iou_thresh`, the runner-up (src) is the same object as the
+    winner (dst).  Apply with `apply_merges` + `labels.relabel_votes`.
+    """
+    n = cfg.max_instances
+    k = int(seg.classes.shape[0])
+    mask_flat = seg.mask_id.reshape(-1)
+    pred_flat = pred_gid.reshape(-1)
+    oh_mask = jax.nn.one_hot(jnp.where(mask_flat >= 0, mask_flat, k), k + 1)
+    oh_pred = jax.nn.one_hot(jnp.where(pred_flat >= 0, pred_flat, n), n + 1)
+    overlap = jnp.einsum("pk,pn->kn", oh_mask[:, :k], oh_pred[:, :n])
+    mask_px = jnp.sum(oh_mask[:, :k], axis=0)
+    pred_px = jnp.sum(oh_pred[:, :n], axis=0)
+    union = mask_px[:, None] + pred_px[None, :] - overlap
+    iou = overlap / jnp.maximum(union, 1.0)
+    cls_ok = (table.cls[None, :] == seg.classes[:, None]) | (
+        table.cls[None, :] == 0
+    )
+    gate = table.active[None, :] & cls_ok
+    iou_g = jnp.where(gate, iou, -1.0)
+
+    dst = jnp.argmax(iou_g, axis=1).astype(jnp.int32)
+    best = jnp.max(iou_g, axis=1)
+    iou_2 = iou_g.at[jnp.arange(k), dst].set(-1.0)
+    src = jnp.argmax(iou_2, axis=1).astype(jnp.int32)
+    second = jnp.max(iou_2, axis=1)
+    ok = (
+        seg.valid
+        & (mask_px >= float(cfg.min_mask_pixels))
+        & (best >= cfg.iou_match_thresh)
+        & (second >= cfg.merge_iou_thresh)
+    )
+    return src, dst, ok
+
+
+def apply_merges(
+    table: InstanceTable,
+    src: jnp.ndarray,  # i32[K]
+    dst: jnp.ndarray,  # i32[K]
+    ok: jnp.ndarray,  # bool[K]
+) -> InstanceTable:
+    """Fold each src row into its dst row and free the src slot."""
+    n = table.active.shape[0]
+    srows = jnp.where(ok, src, n)  # OOB -> dropped
+    drows = jnp.where(ok, dst, n)
+    src_c = jnp.clip(src, 0, n - 1)
+    score = table.score.at[drows].add(
+        jnp.where(ok, table.score[src_c], 0.0), mode="drop"
+    )
+    matches = table.matches.at[drows].add(
+        jnp.where(ok, table.matches[src_c], 0), mode="drop"
+    )
+    # Free the src slots entirely (score/matches zeroed AFTER folding).
+    active = table.active.at[srows].set(False, mode="drop")
+    cls = table.cls.at[srows].set(0, mode="drop")
+    score = score.at[srows].set(0.0, mode="drop")
+    matches = matches.at[srows].set(0, mode="drop")
+    return table._replace(
+        active=active, cls=cls, score=score, matches=matches,
+        age=table.age.at[srows].set(0, mode="drop"),
+    )
+
+
 def retire_stale(
     table: InstanceTable, cfg: InstanceConfig, min_matches: int = 2,
     probation_age: int = 30,

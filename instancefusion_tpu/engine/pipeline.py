@@ -19,6 +19,7 @@ moves surfels but cannot unfuse their accumulated weights.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Iterable
 
@@ -177,6 +178,14 @@ def run(
             with_color=cfg.use_color, with_votes=cfg.use_instances,
             with_stamps=cfg.track_stamps,
         )
+        if resume and checkpoint_dir and start_frame:
+            # Evicted blocks live ONLY in the host store (device XOR
+            # store) — restore it with the device state or they are gone.
+            spath = os.path.join(
+                checkpoint_dir, f"step_{start_frame}.streamer.npz"
+            )
+            if os.path.exists(spath):
+                streamer.load(spath)
 
     pgc = cfg.posegraph
     est: list[np.ndarray] = []
@@ -490,6 +499,10 @@ def run(
         if checkpoint_dir and (i + 1) % checkpoint_every == 0:
             sync_fetch((state, backend, T_wm))
             ckpt.save(checkpoint_dir, (state, backend, T_wm), cfg, i + 1)
+            if streamer is not None:
+                streamer.save(os.path.join(
+                    checkpoint_dir, f"step_{i + 1}.streamer.npz"
+                ))
 
     # Flush the last in-flight segmentation so its votes are not lost.
     if pending_seg is not None:

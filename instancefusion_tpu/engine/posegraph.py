@@ -148,6 +148,20 @@ def detect_loop(
     )
 
 
+def decimated_min_valid(min_valid: int, decim: int) -> int:
+    """Tracking-health pixel gate rescaled to a decimated resolution.
+
+    A decimated map has 1/decim^2 of the full-resolution pixels, so the
+    proportional gate would be min_valid/decim^2; loop verification
+    deliberately keeps DOUBLE that (divide by decim^2/2, i.e. gate at
+    2x the proportional count) because a loop edge feeds the pose graph
+    at 10x odometry weight — a marginal-overlap "verification" there is
+    far more damaging than a conservatively rejected loop.  Pinned by
+    tests/test_posegraph.py::test_decimated_min_valid.
+    """
+    return max(1, min_valid // max(decim * decim // 2, 1))
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def verify_loop(
     bs: BackendState,
@@ -191,7 +205,7 @@ def verify_loop(
         dist_thresh=cfg.icp.dist_thresh * 2.0,
         angle_thresh=cfg.icp.angle_thresh,
         rgb_weight=0.0, damping=cfg.icp.damping,
-        min_valid=cfg.icp.min_valid // (decim * decim // 2),
+        min_valid=decimated_min_valid(cfg.icp.min_valid, decim),
     )
     result = icp.track(
         pyr, tv, tn, tval, T0, kf_pose, intr_d, icp_cfg

@@ -518,9 +518,17 @@ def fuse_segmentation(
         state.pred.valid,
         cfg.tsdf,
     )
-    gid_image, table = inst.associate(state.table, seg, pred_gid, cfg.instances)
+    # Duplicate-row merge BEFORE matching: a mask overlapping two
+    # predicted regions is the evidence that they are one object
+    # (instances.find_merges — the reference's create/MERGE/confirm).
+    src, dst, mok = inst.find_merges(state.table, seg, pred_gid, cfg.instances)
+    table = inst.apply_merges(state.table, src, dst, mok)
+    votes = labels.relabel_votes(state.votes, src, dst, mok)
+    for i in range(src.shape[0]):  # remap the predicted-id image too
+        pred_gid = jnp.where(mok[i] & (pred_gid == src[i]), dst[i], pred_gid)
+    gid_image, table = inst.associate(table, seg, pred_gid, cfg.instances)
     votes = labels.fuse(
-        state.votes,
+        votes,
         state.volume,
         gid_image,
         depth,

@@ -272,11 +272,20 @@ def make_fuse_segmentation(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
             state.votes, state.volume,
             state.pred.vertex_w, state.pred.valid, mesh, cfg.tsdf,
         )
-        gid_image, table = inst.associate(
+        # Duplicate-row merge (engine/slam.fuse_segmentation): relabeling
+        # is elementwise, so it runs unchanged on the sharded vote planes.
+        src, dst, mok = inst.find_merges(
             state.table, seg_r, pred_gid, cfg.instances
         )
+        table = inst.apply_merges(state.table, src, dst, mok)
+        votes = labels.relabel_votes(state.votes, src, dst, mok)
+        for i in range(src.shape[0]):
+            pred_gid = jnp.where(
+                mok[i] & (pred_gid == src[i]), dst[i], pred_gid
+            )
+        gid_image, table = inst.associate(table, seg_r, pred_gid, cfg.instances)
         votes = shard.fuse_labels(
-            state.votes, state.volume, gid_image, depth, T_mc,
+            votes, state.volume, gid_image, depth, T_mc,
             mesh, intr, cfg.tsdf,
         )
         return state._replace(votes=votes, table=table)

@@ -161,18 +161,81 @@ def extract_instances(
 
 
 def segment(
-    params, rgb: jnp.ndarray, num_classes: int, max_instances: int, width: int = 32
+    params, rgb: jnp.ndarray, num_classes: int, max_instances: int,
+    width: int = 32, center_thresh: float = -2.0,
 ) -> Segmentation:
-    """Full forward + grouping for one frame (jit-able)."""
+    """Full forward + grouping for one frame (jit-able).
+
+    `center_thresh` is on the pre-sigmoid heatmap (default -2.0 ≈ p=0.12):
+    under-thresholding splits an object occasionally (fragments still
+    carry the right class via the histogram, and the downstream IoU
+    association can merge them), while over-thresholding MERGES distinct
+    objects — the unrecoverable failure mode.
+    """
     model = PanopticHead(num_classes=num_classes, width=width)
     sem, center, offset = model.apply(params, rgb)
-    return extract_instances(sem, center, offset, max_instances)
+    return extract_instances(
+        sem, center, offset, max_instances, center_thresh=center_thresh
+    )
 
 
 def init_params(rng, height: int, width_px: int, num_classes: int, width: int = 32):
     model = PanopticHead(num_classes=num_classes, width=width)
     dummy = jnp.zeros((height, width_px, 3), jnp.float32)
     return model.init(rng, dummy)
+
+
+# Packaged pretrained checkpoint (trained in-repo by _train_seghead.py on
+# the synthetic scene; see tests/test_instances.py e2e).  num_classes=5,
+# width=16.  The reference ships no weights either — it downloads a COCO
+# Mask R-CNN; this is the self-contained equivalent for the synthetic rig.
+PRETRAINED_SYNTHETIC = {
+    "file": "weights/seghead_synthetic_w16.npz",
+    "num_classes": 5,
+    "width": 16,
+}
+
+
+def save_pretrained(path: str, params) -> None:
+    """Flatten a flax params pytree into a float16-packed npz."""
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {
+        jax.tree_util.keystr(kp): np.asarray(leaf, np.float16)
+        for kp, leaf in flat
+    }
+    np.savez_compressed(path, **arrays)
+
+
+def load_pretrained(path: str | None = None):
+    """Load a checkpoint saved by `save_pretrained`.
+
+    Returns (params, num_classes, width).  `path=None` loads the packaged
+    synthetic-scene checkpoint.
+    """
+    import os
+
+    import numpy as np
+
+    meta = PRETRAINED_SYNTHETIC
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), meta["file"])
+    data = np.load(path)
+    # Rebuild the pytree structure from an init skeleton keyed the same way.
+    params = init_params(
+        jax.random.PRNGKey(0), 8, 8, meta["num_classes"], meta["width"]
+    )
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = [
+        jnp.asarray(data[jax.tree_util.keystr(kp)], jnp.float32)
+        for kp, _ in flat
+    ]
+    return (
+        jax.tree_util.tree_unflatten(treedef, leaves),
+        meta["num_classes"],
+        meta["width"],
+    )
 
 
 # --------------------------------------------------------------------------

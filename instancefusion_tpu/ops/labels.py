@@ -45,6 +45,27 @@ def allocate(cfg: TsdfConfig) -> LabelVotes:
     )
 
 
+def relabel_votes(
+    votes: LabelVotes,
+    src: jnp.ndarray,  # i32[K] merged-away instance ids
+    dst: jnp.ndarray,  # i32[K] surviving ids
+    ok: jnp.ndarray,  # bool[K]
+) -> LabelVotes:
+    """Rewrite per-voxel votes after instance merges (src -> dst).
+
+    One elementwise pass per merge pair over the vote planes (K is the
+    per-frame mask capacity, small and static); counts are preserved —
+    the merged object's evidence keeps its weight.  Works unchanged on
+    sharded vote planes (purely elementwise).
+    """
+    label = votes.label
+    k = src.shape[0]
+    for i in range(k):
+        hit = ok[i] & (label == src[i])
+        label = jnp.where(hit, dst[i], label)
+    return votes._replace(label=label)
+
+
 def fuse(
     votes: LabelVotes,
     bm: blk.BlockMap,

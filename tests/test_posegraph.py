@@ -143,3 +143,19 @@ def test_landmark_ba_beats_pose_graph_on_noisy_loop_edge():
     err0 = np.sqrt(np.mean(np.sum((est[:, :3, 3] - gt[:, :3, 3]) ** 2, -1)))
     assert err_pg < err0  # pose graph does help...
     assert err_lm < 0.8 * err_pg, (err0, err_pg, err_lm)  # ...BA helps more
+
+
+def test_decimated_min_valid():
+    """Pin the loop-verification gate rescale: 2x the proportional
+    pixel count at the decimated resolution (a falsely accepted loop at
+    10x edge weight is far worse than a rejected one)."""
+    # decim 4: 100 full-res pixels -> proportional 6.25 -> gate 12 (2x).
+    assert pg.decimated_min_valid(100, 4) == 12
+    assert pg.decimated_min_valid(100, 2) == 50
+    assert pg.decimated_min_valid(100, 1) == 100  # no decimation: unchanged
+    assert pg.decimated_min_valid(3, 8) >= 1  # never gates at zero
+    # The invariant that matters: gate ~= 2x the proportional count.
+    for mv, d in [(400, 4), (1000, 8), (64, 2)]:
+        got = pg.decimated_min_valid(mv, d)
+        proportional = mv / (d * d)
+        assert 1.5 * proportional <= got <= 2.5 * proportional + 1, (mv, d, got)
