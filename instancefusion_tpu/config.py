@@ -76,6 +76,12 @@ class TsdfConfig:
     group_capacity: int = 1024
     # Use the Pallas fused payload-update kernels (TPU; ops/pallas/tsdf.py).
     use_pallas: bool = False
+    # Split the per-frame group list by projected footprint
+    # (blocks.frustum_groups_binned): groups fitting a 64-row window run
+    # half-height variants of the integrate/splat kernels (~most groups
+    # at 512^3/VGA, median footprint ~42 px), the rest the full 128-row
+    # kernels.  TPU group-kernel path only.
+    bin_groups: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

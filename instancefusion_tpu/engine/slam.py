@@ -128,6 +128,109 @@ def _unalias_pytree(tree):
     return jax.tree.unflatten(treedef, list(leaves))
 
 
+def _splat_map_update(
+    cfg: EngineConfig,
+    volume,  # previous BlockMap
+    pred_prev_depth: jnp.ndarray,  # previous prediction's depth (prior holes)
+    depth_eff: jnp.ndarray,  # tracking-gated measured depth
+    frame_color: jnp.ndarray | None,
+    T_new: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+):
+    """The blocks+use_splat fast path: allocate + integrate + splat predict.
+
+    Shared by `step` and `step_gt`.  One in-frustum block list feeds both
+    the fused integrate and the Pallas splat-raycast prediction (zero
+    random gathers on the prediction side); list-based bookkeeping only
+    (blocks.discover_allocate — no directory-sized scatters).  On TPU
+    with `bin_groups`, groups split by projected footprint and the small
+    bin runs the half-height kernel variants (frustum_groups_binned).
+    """
+    intr = cfg.intrinsics
+    pred_color = cfg.use_color and (
+        cfg.raycast.predict_color or cfg.icp.rgb_weight > 0.0
+    )
+    prior = jnp.where(depth_eff > 0.0, depth_eff, pred_prev_depth)
+    volume = blocks.discover_allocate(volume, depth_eff, T_new, intr, cfg.tsdf)
+
+    def cadenced(integrate_fn):
+        """Apply the color cadence (+ cadence-gain, see config.color_every)."""
+        if frame_color is not None and cfg.color_every > 1:
+            return jax.lax.cond(
+                frame_idx % cfg.color_every == 0,
+                lambda vol: integrate_fn(
+                    vol, frame_color, float(cfg.color_every)
+                ),
+                lambda vol: integrate_fn(vol, None, 1.0),
+                volume,
+            )
+        return integrate_fn(volume, frame_color, 1.0)
+
+    if cfg.tsdf.use_pallas and jax.default_backend() == "tpu":
+        # Group-addressed kernels: payload rows stream through data-
+        # dependent BlockSpec index maps (integrate updates in place) —
+        # zero XLA row gathers/scatters on the per-frame path.
+        kg = min(cfg.tsdf.group_capacity, cfg.tsdf.table_capacity // 8)
+        if cfg.tsdf.bin_groups:
+            gs, rvs, gl, rvl = blocks.frustum_groups_binned(
+                volume, T_new, intr, cfg.tsdf,
+                cfg.raycast.near, cfg.raycast.far,
+                kg, max(kg // 2, 64),
+                th_small=64, rmax=cfg.raycast.splat_rmax,
+            )
+            bins = ((gs, rvs, 64), (gl, rvl, 128))
+            new_volume = cadenced(
+                lambda vol, col, gain: blocks.integrate_groups_binned(
+                    vol, bins, depth_eff, col, T_new, intr, cfg.tsdf,
+                    color_gain=gain,
+                )
+            )
+            pred = blocks.raycast_splat_groups_binned(
+                new_volume, T_new, intr, cfg.tsdf, bins,
+                with_color=pred_color, depth_prior=prior,
+                rmax=cfg.raycast.splat_rmax,
+            )
+        else:
+            gids, row_valid = blocks.frustum_groups(
+                volume, T_new, intr, cfg.tsdf,
+                cfg.raycast.near, cfg.raycast.far, kg,
+            )
+            new_volume = cadenced(
+                lambda vol, col, gain: blocks.integrate_groups(
+                    vol, gids, row_valid, depth_eff, col, T_new, intr,
+                    cfg.tsdf, color_gain=gain,
+                )
+            )
+            pred = blocks.raycast_splat_groups(
+                new_volume, T_new, intr, cfg.tsdf, gids, row_valid,
+                with_color=pred_color, depth_prior=prior,
+                rmax=cfg.raycast.splat_rmax,
+            )
+    else:
+        k = min(
+            cfg.tsdf.touched_capacity,
+            blocks.num_blocks_per_axis(cfg.tsdf) ** 3,
+        )
+        slots, slot_valid = blocks.frustum_slots(
+            volume, T_new, intr, cfg.tsdf,
+            cfg.raycast.near, cfg.raycast.far, k,
+        )
+        new_volume = cadenced(
+            lambda vol, col, gain: blocks.integrate_slots(
+                vol, slots, slot_valid, depth_eff, col, T_new, intr,
+                cfg.tsdf, color_gain=gain,
+            )
+        )
+        pred = blocks.raycast_splat(
+            new_volume, T_new, intr, cfg.tsdf, slots, slot_valid,
+            with_color=pred_color,
+            interpret=jax.default_backend() != "tpu",
+            depth_prior=prior,
+            rmax=cfg.raycast.splat_rmax,
+        )
+    return new_volume, pred
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def step(
     cfg: EngineConfig,
@@ -183,102 +286,10 @@ def step(
         cfg.raycast.predict_color or cfg.icp.rgb_weight > 0.0
     )
     if cfg.map_kind == "blocks" and cfg.raycast.use_splat:
-        # Fast path: one shared in-frustum block list feeds both the fused
-        # integrate and the Pallas splat-raycast prediction (zero random
-        # gathers on the prediction side).  List-based bookkeeping (no
-        # directory-sized scatters — see blocks.discover_allocate):
-        # 1. new band blocks are discovered from the measured depth and
-        #    allocated (hole pixels' bands cover already-predicted, hence
-        #    already-allocated, blocks — nothing to discover there);
-        # 2. the integrate/carve/predict list is simply every allocated
-        #    in-frustum block: it contains the whole measurement band and
-        #    space-carves projective-TSDF fins by keeping free-space
-        #    updates flowing to in-view allocated blocks.
-        prior = jnp.where(depth_masked > 0.0, depth_masked, state.pred.depth)
-        volume = blocks.discover_allocate(
-            state.volume, depth_masked, T_new, intr, cfg.tsdf
+        volume, pred = _splat_map_update(
+            cfg, state.volume, state.pred.depth, depth_masked, frame_color,
+            T_new, state.frame_idx,
         )
-        if cfg.tsdf.use_pallas and jax.default_backend() == "tpu":
-            # Group-addressed kernels: payload rows stream through data-
-            # dependent BlockSpec index maps (integrate updates in place)
-            # — zero XLA row gathers/scatters on the per-frame path.
-            kg = min(
-                cfg.tsdf.group_capacity,
-                cfg.tsdf.table_capacity // 8,
-            )
-            gids, row_valid = blocks.frustum_groups(
-                volume, T_new, intr, cfg.tsdf,
-                cfg.raycast.near, cfg.raycast.far, kg,
-            )
-            if frame_color is not None and cfg.color_every > 1:
-                # Color cadence: both branches compile once; the taken
-                # branch runs 2-channel (depth-only) on off frames.  On
-                # frames scale the color observation by the cadence
-                # (color_gain) so off-frame depth fusion does not inflate
-                # the color-average denominator — the color EMA keeps the
-                # every-frame time constant (residual bias: only a voxel's
-                # FIRST color sample lands under-weighted; see
-                # ops/pallas/tsdf._update_kernel).
-                volume = jax.lax.cond(
-                    state.frame_idx % cfg.color_every == 0,
-                    lambda vol: blocks.integrate_groups(
-                        vol, gids, row_valid, depth_masked, frame_color,
-                        T_new, intr, cfg.tsdf,
-                        color_gain=float(cfg.color_every),
-                    ),
-                    lambda vol: blocks.integrate_groups(
-                        vol, gids, row_valid, depth_masked, None,
-                        T_new, intr, cfg.tsdf,
-                    ),
-                    volume,
-                )
-            else:
-                volume = blocks.integrate_groups(
-                    volume, gids, row_valid, depth_masked, frame_color,
-                    T_new, intr, cfg.tsdf,
-                )
-            pred = blocks.raycast_splat_groups(
-                volume, T_new, intr, cfg.tsdf, gids, row_valid,
-                with_color=pred_color,
-                depth_prior=prior,
-                rmax=cfg.raycast.splat_rmax,
-            )
-        else:
-            k = min(
-                cfg.tsdf.touched_capacity,
-                blocks.num_blocks_per_axis(cfg.tsdf) ** 3,
-            )
-            slots, slot_valid = blocks.frustum_slots(
-                volume, T_new, intr, cfg.tsdf,
-                cfg.raycast.near, cfg.raycast.far, k,
-            )
-            if frame_color is not None and cfg.color_every > 1:
-                # Same cadence + gain as the group-kernel branch above.
-                volume = jax.lax.cond(
-                    state.frame_idx % cfg.color_every == 0,
-                    lambda vol: blocks.integrate_slots(
-                        vol, slots, slot_valid, depth_masked, frame_color,
-                        T_new, intr, cfg.tsdf,
-                        color_gain=float(cfg.color_every),
-                    ),
-                    lambda vol: blocks.integrate_slots(
-                        vol, slots, slot_valid, depth_masked, None,
-                        T_new, intr, cfg.tsdf,
-                    ),
-                    volume,
-                )
-            else:
-                volume = blocks.integrate_slots(
-                    volume, slots, slot_valid, depth_masked, frame_color,
-                    T_new, intr, cfg.tsdf,
-                )
-            pred = blocks.raycast_splat(
-                volume, T_new, intr, cfg.tsdf, slots, slot_valid,
-                with_color=pred_color,
-                interpret=jax.default_backend() != "tpu",
-                depth_prior=prior,
-                rmax=cfg.raycast.splat_rmax,
-            )
     else:
         volume = ops.integrate(
             state.volume, depth_masked, frame_color, T_new, intr, cfg.tsdf
@@ -359,69 +370,12 @@ def step_gt(
         cfg.raycast.predict_color or cfg.icp.rgb_weight > 0.0
     )
     if cfg.map_kind == "blocks" and cfg.raycast.use_splat:
-        prior = jnp.where(d0 > 0.0, d0, state.pred.depth)
-        volume = blocks.discover_allocate(state.volume, d0, T_new, intr, cfg.tsdf)
-        if cfg.tsdf.use_pallas and jax.default_backend() == "tpu":
-            kg = min(cfg.tsdf.group_capacity, cfg.tsdf.table_capacity // 8)
-            gids, row_valid = blocks.frustum_groups(
-                volume, T_new, intr, cfg.tsdf,
-                cfg.raycast.near, cfg.raycast.far, kg,
-            )
-            if frame_color is not None and cfg.color_every > 1:
-                # Same color cadence + gain as `step` (the GT path must
-                # produce identical map contents under a cadenced config).
-                volume = jax.lax.cond(
-                    state.frame_idx % cfg.color_every == 0,
-                    lambda vol: blocks.integrate_groups(
-                        vol, gids, row_valid, d0, frame_color, T_new, intr,
-                        cfg.tsdf, color_gain=float(cfg.color_every),
-                    ),
-                    lambda vol: blocks.integrate_groups(
-                        vol, gids, row_valid, d0, None, T_new, intr, cfg.tsdf,
-                    ),
-                    volume,
-                )
-            else:
-                volume = blocks.integrate_groups(
-                    volume, gids, row_valid, d0, frame_color, T_new, intr,
-                    cfg.tsdf,
-                )
-            pred = blocks.raycast_splat_groups(
-                volume, T_new, intr, cfg.tsdf, gids, row_valid,
-                with_color=pred_color, depth_prior=prior,
-                rmax=cfg.raycast.splat_rmax,
-            )
-        else:
-            k = min(cfg.tsdf.touched_capacity,
-                    blocks.num_blocks_per_axis(cfg.tsdf) ** 3)
-            slots, slot_valid = blocks.frustum_slots(
-                volume, T_new, intr, cfg.tsdf,
-                cfg.raycast.near, cfg.raycast.far, k,
-            )
-            if frame_color is not None and cfg.color_every > 1:
-                volume = jax.lax.cond(
-                    state.frame_idx % cfg.color_every == 0,
-                    lambda vol: blocks.integrate_slots(
-                        vol, slots, slot_valid, d0, frame_color, T_new, intr,
-                        cfg.tsdf, color_gain=float(cfg.color_every),
-                    ),
-                    lambda vol: blocks.integrate_slots(
-                        vol, slots, slot_valid, d0, None, T_new, intr,
-                        cfg.tsdf,
-                    ),
-                    volume,
-                )
-            else:
-                volume = blocks.integrate_slots(
-                    volume, slots, slot_valid, d0, frame_color, T_new, intr,
-                    cfg.tsdf,
-                )
-            pred = blocks.raycast_splat(
-                volume, T_new, intr, cfg.tsdf, slots, slot_valid,
-                with_color=pred_color,
-                interpret=jax.default_backend() != "tpu",
-                depth_prior=prior, rmax=cfg.raycast.splat_rmax,
-            )
+        # Same map-update path as `step` (identical map contents under a
+        # cadenced config — the GT path only skips ICP).
+        volume, pred = _splat_map_update(
+            cfg, state.volume, state.pred.depth, d0, frame_color, T_new,
+            state.frame_idx,
+        )
     else:
         volume = ops.integrate(
             state.volume, d0, frame_color, T_new, intr, cfg.tsdf

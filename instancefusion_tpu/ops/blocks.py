@@ -401,6 +401,76 @@ def frustum_groups(
     return gids, row_valid
 
 
+def frustum_groups_binned(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    near: float,
+    far: float,
+    ks: int,
+    kl: int,
+    th_small: int = 64,
+    rmax: int = 8,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`frustum_groups` split by projected-window footprint.
+
+    The r3 profile's biggest remaining lever: both group kernels run a
+    fixed 128-row one-hot window while the median 512^3/VGA block
+    footprint is ~42 px — so groups whose every member block's projected
+    bbox (with the splat tent margin, the wider of the two kernels') fits
+    a `th_small`-row tile-aligned window go to the SMALL bin and run the
+    th=64 kernel variant at roughly half the matmul area; the rest
+    (near-camera blocks, camera-plane straddlers, clipped windows) go to
+    the LARGE bin with the full 128-row window.  Returns
+    (gids_s i32[ks], rv_s bool[ks,8], gids_l i32[kl], rv_l bool[kl,8]);
+    the two lists are disjoint and their union is `frustum_groups`'s.
+    """
+    c = bm.block_coords.shape[0]
+    hp = -(-intr.height // 8) * 8
+    inview = frustum_mask(bm, T_wc, intr, cfg, near, far)
+
+    # Per-slot projected v-extent, mirroring pallas.raycast.block_windows.
+    b = cfg.block_size
+    bsz = b * cfg.voxel_size
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    T_cw = se3_inverse(T_wc)
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    corner = jnp.stack(
+        [jnp.array([i // 4, (i // 2) % 2, i % 2], jnp.float32) for i in range(8)]
+    )
+    coords = jnp.maximum(bm.block_coords, 0)
+    p_w = origin + (coords[:, None, :].astype(jnp.float32) + corner[None]) * bsz
+    p_c = p_w @ R.T + t  # (C, 8, 3)
+    z = p_c[..., 2]
+    z_min = jnp.min(z, axis=1)
+    zs = jnp.maximum(z, 1e-3)
+    v = intr.fy * p_c[..., 1] / zs + intr.cy
+    z_cen = jnp.mean(z, axis=1)
+    r_tent = jnp.clip(
+        0.7 * intr.fx * cfg.voxel_size / jnp.maximum(z_cen, 0.3),
+        1.0, float(rmax),
+    )
+    vmin = jnp.min(v, axis=1) - r_tent
+    vmax = jnp.max(v, axis=1) + r_tent
+    ths = min(th_small, hp)
+    v0 = jnp.clip(
+        (jnp.floor(vmin).astype(jnp.int32) // 8) * 8, 0, max(hp - ths, 0)
+    )
+    fits = (z_min > 1e-3) & (vmax <= (v0 + ths - 1).astype(jnp.float32))
+
+    by_group = inview.reshape(-1, 8)
+    # A group is small iff every in-view member fits the small window.
+    gsmall = jnp.all(jnp.logical_not(by_group) | fits.reshape(-1, 8), axis=1)
+    gmask = jnp.any(by_group, axis=1)
+    fill = c // 8 - 1  # the reserved pad group
+    gids_s, gv_s = compact_mask_indices(gmask & gsmall, ks, fill=fill)
+    gids_l, gv_l = compact_mask_indices(gmask & ~gsmall, kl, fill=fill)
+    rv_s = by_group[gids_s] & gv_s[:, None]
+    rv_l = by_group[gids_l] & gv_l[:, None]
+    return gids_s, rv_s, gids_l, rv_l
+
+
 # Payload slots reserved as the Pallas group-kernels' pad target: the last
 # group of 8 rows is never allocated, so pad grid steps that read/write it
 # can never race with a real update.
@@ -620,6 +690,96 @@ def integrate_groups(
     return integrate_slots(
         bm, slots, row_valid.reshape(-1), depth, color, T_wc, intr, cfg,
         color_gain=color_gain,
+    )
+
+
+def integrate_groups_binned(
+    bm: BlockMap,
+    bins,  # sequence of (gids i32[K], row_valid bool[K,8], th int)
+    depth: jnp.ndarray,
+    color: jnp.ndarray | None,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    color_gain: float = 1.0,
+) -> BlockMap:
+    """`integrate_groups` over footprint bins (frustum_groups_binned).
+
+    Bins are disjoint group sets, so the sequential in-place kernel calls
+    compose exactly; each runs at its own window height (TPU path — the
+    CPU/golden fallback inside integrate_groups flattens each bin).
+    """
+    for gids, row_valid, th in bins:
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            from instancefusion_tpu.ops.pallas.tsdf import fused_integrate_groups
+
+            frame_color = color if (color is not None and bm.color.size) else None
+            sdf, w, col = fused_integrate_groups(
+                gids, row_valid, bm.block_coords, bm.sdf, bm.weight,
+                bm.color, depth, frame_color, T_wc, intr, cfg,
+                color_gain=color_gain, th=th,
+            )
+            bm = bm._replace(sdf=sdf, weight=w, color=col)
+        else:
+            bm = integrate_groups(
+                bm, gids, row_valid, depth, color, T_wc, intr, cfg,
+                color_gain=color_gain,
+            )
+    return bm
+
+
+def raycast_splat_groups_binned(
+    bm: BlockMap,
+    T_wc: jnp.ndarray,
+    intr: Intrinsics,
+    tsdf_cfg: TsdfConfig,
+    bins,  # sequence of (gids, row_valid, th)
+    with_color: bool = True,
+    depth_prior: jnp.ndarray | None = None,
+    rmax: int = 8,
+):
+    """`raycast_splat_groups` over footprint bins (TPU only).
+
+    The splat kernel's six output planes are scatter-add accumulators,
+    so rendering disjoint bins separately and SUMMING the raw planes is
+    exactly the single-call result; normalization runs once at the end.
+    """
+    from instancefusion_tpu.ops.pallas.raycast import (
+        finish_splat_images, splat_depth_groups,
+    )
+    from instancefusion_tpu.ops.raycast import RaycastMaps
+
+    acc = None
+    for gids, row_valid, th in bins:
+        outs = splat_depth_groups(
+            gids, row_valid, bm.block_coords, bm.sdf, bm.weight, bm.color,
+            T_wc, intr, tsdf_cfg,
+            with_color=with_color and bool(bm.color.size),
+            depth_prior=depth_prior, rmax=rmax, th=th, raw=True,
+        )
+        acc = outs if acc is None else [a + o for a, o in zip(acc, outs)]
+    imgs = finish_splat_images(
+        acc, intr, tsdf_cfg,
+        with_color=with_color and bool(bm.color.size),
+        depth_prior=depth_prior,
+    )
+    rays_c = ray_directions(intr)  # unit-z
+    R = T_wc[:3, :3]
+    origin_w = T_wc[:3, 3]
+    dirs_z = (rays_c.reshape(-1, 3) @ R.T).reshape(rays_c.shape)
+    p_hit = origin_w + imgs.depth[..., None] * dirs_z
+    dirs_unit = dirs_z / jnp.maximum(
+        jnp.linalg.norm(dirs_z, axis=-1, keepdims=True), 1e-12
+    )
+    normal_w, nvalid = _image_space_normals(p_hit, imgs.valid, dirs_unit)
+    valid = imgs.valid & nvalid
+    zero3 = jnp.zeros_like(p_hit)
+    return RaycastMaps(
+        vertex_w=jnp.where(valid[..., None], p_hit, zero3),
+        normal_w=jnp.where(valid[..., None], normal_w, zero3),
+        depth=jnp.where(valid, imgs.depth, 0.0),
+        color=jnp.where(valid[..., None], imgs.color, 0.0),
+        valid=valid,
     )
 
 

@@ -312,7 +312,9 @@ def _splat_groups_kernel(gids_ref, *rest, **kw):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "tsdf_cfg", "with_color", "interpret", "rmax"),
+    static_argnames=(
+        "intr", "tsdf_cfg", "with_color", "interpret", "rmax", "th", "raw",
+    ),
 )
 def splat_depth_groups(
     gids: jnp.ndarray,  # i32[KG] payload row groups to render
@@ -328,7 +330,9 @@ def splat_depth_groups(
     interpret: bool = False,
     depth_prior: jnp.ndarray | None = None,
     rmax: int = 8,
-) -> SplatImages:
+    th: int | None = None,
+    raw: bool = False,
+):
     """`splat_depth` addressed by payload row groups — zero row gathers.
 
     The slot-list variant gathers K payload rows (5 planes) before the
@@ -342,7 +346,11 @@ def splat_depth_groups(
     h, w = intr.height, intr.width
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    th = min(128, hp)
+    # th override: the footprint-binned fast path runs a th=64 variant
+    # over groups whose projected windows fit 64 rows (the common case at
+    # 512^3/VGA — median footprint ~42 px), halving the gather/splat
+    # matmul area for them; the th=128 variant covers the rest.
+    th = min(128, hp) if th is None else min(th, hp)
     tw = min(256, wp)
     b = tsdf_cfg.block_size
     assert b == 8, "splat kernel assumes 8^3 blocks"
@@ -381,6 +389,24 @@ def splat_depth_groups(
         interpret=interpret,
     )(gids, meta_i.reshape(-1), meta_f.reshape(-1), cam.reshape(-1),
        sdf, weight, col_in)
+    if raw:
+        # Raw scatter-add accumulators: splitting the group set across
+        # calls and SUMMING these planes is exact (finish_splat_images).
+        return outs
+    return finish_splat_images(
+        outs, intr, tsdf_cfg, with_color=with_color, depth_prior=depth_prior
+    )
+
+
+def finish_splat_images(
+    outs,  # 6 accumulator planes [HP, WP] (num, dens, denr, r, g, b)
+    intr: Intrinsics,
+    tsdf_cfg: TsdfConfig,
+    with_color: bool = True,
+    depth_prior: jnp.ndarray | None = None,
+) -> SplatImages:
+    """Normalize summed splat accumulators into composited images."""
+    h, w = intr.height, intr.width
     num, dens, denr, outr, outg, outb = (o[:h, :w] for o in outs)
 
     valid = (denr > _DEN_TAU) & (dens > 1e-30)

@@ -367,6 +367,7 @@ def fused_integrate_groups(
     tsdf_cfg,
     interpret: bool = False,
     color_gain: float = 1.0,
+    th: int | None = None,
 ):
     """TSDF integrate addressed by payload row GROUPS, updated IN PLACE.
 
@@ -391,7 +392,9 @@ def fused_integrate_groups(
     h, w_img = intr.height, intr.width
     hp = -(-h // 8) * 8
     wp = -(-w_img // 128) * 128
-    th = min(128, hp)
+    # th override: see splat_depth_groups — the binned fast path runs a
+    # smaller-window variant over groups whose footprints fit it.
+    th = min(128, hp) if th is None else min(th, hp)
     tw = min(256, wp)
     kg = gids.shape[0]
     with_color = frame_color is not None and color.size > 0

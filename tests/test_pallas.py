@@ -386,3 +386,107 @@ def test_gn_iterations_rgb_matches_jnp_inner_loop():
     )
     np.testing.assert_allclose(np.asarray(T_got), np.asarray(Tc), atol=5e-5)
     assert abs(float(nin_g) - n_pts) < 1
+
+
+def _binned_scene():
+    import dataclasses
+
+    from instancefusion_tpu.datasets import synthetic
+    from instancefusion_tpu.ops import blocks as blk
+    from tests.helpers import SMALL_INTR, SMALL_TSDF
+
+    cfg = dataclasses.replace(
+        SMALL_TSDF, block_size=8, table_capacity=1728, group_capacity=128
+    )
+    poses = synthetic.orbit_trajectory(3)
+    bm = blk.allocate(cfg)
+    f = None
+    for i in range(2):
+        f = synthetic.render_frame(poses[i], SMALL_INTR)
+        bm = blk.integrate(bm, f.depth, f.color, f.T_wc, SMALL_INTR, cfg)
+    return cfg, bm, f, SMALL_INTR
+
+
+def test_frustum_groups_binned_partitions_exactly():
+    """The binned lists are disjoint and their union is frustum_groups'."""
+    from instancefusion_tpu.ops import blocks as blk
+
+    cfg, bm, f, intr = _binned_scene()
+    kg = 128
+    gids, gv = blk.frustum_groups(bm, f.T_wc, intr, cfg, 0.2, 4.0, kg)
+    gs, rvs, gl, rvl = blk.frustum_groups_binned(
+        bm, f.T_wc, intr, cfg, 0.2, 4.0, kg, kg, th_small=64, rmax=3
+    )
+    fill = cfg.table_capacity // 8 - 1
+    all_g = set(np.asarray(gids)[np.asarray(gv).any(1)].tolist())
+    s_g = set(np.asarray(gs)[np.asarray(rvs).any(1)].tolist())
+    l_g = set(np.asarray(gl)[np.asarray(rvl).any(1)].tolist())
+    assert s_g | l_g == all_g
+    assert not (s_g & l_g)
+    assert len(s_g) > 0  # the common case actually hits the small bin
+    # Row-validity agrees per group.
+    rv_all = {int(g): v for g, v in zip(np.asarray(gids), np.asarray(gv))}
+    for g, v in list(zip(np.asarray(gs), np.asarray(rvs))) + list(
+        zip(np.asarray(gl), np.asarray(rvl))
+    ):
+        if int(g) != fill and v.any():
+            np.testing.assert_array_equal(v, rv_all[int(g)])
+
+
+def test_binned_splat_accumulators_sum_exactly():
+    """Rendering disjoint footprint bins separately and summing the raw
+    scatter-add planes == the single-call kernel (interpret mode)."""
+    from instancefusion_tpu.ops import blocks as blk
+    from instancefusion_tpu.ops.pallas.raycast import splat_depth_groups
+
+    cfg, bm, f, intr = _binned_scene()
+    kg = 128
+    gids, gv = blk.frustum_groups(bm, f.T_wc, intr, cfg, 0.2, 4.0, kg)
+    gs, rvs, gl, rvl = blk.frustum_groups_binned(
+        bm, f.T_wc, intr, cfg, 0.2, 4.0, kg, kg, th_small=64, rmax=3
+    )
+    kw = dict(with_color=True, depth_prior=None, rmax=3, raw=True,
+              interpret=True)
+    full = splat_depth_groups(
+        gids, gv, bm.block_coords, bm.sdf, bm.weight, bm.color,
+        f.T_wc, intr, cfg, **kw,
+    )
+    small = splat_depth_groups(
+        gs, rvs, bm.block_coords, bm.sdf, bm.weight, bm.color,
+        f.T_wc, intr, cfg, th=64, **kw,
+    )
+    large = splat_depth_groups(
+        gl, rvl, bm.block_coords, bm.sdf, bm.weight, bm.color,
+        f.T_wc, intr, cfg, **kw,
+    )
+    for a, b, c in zip(full, small, large):
+        np.testing.assert_allclose(
+            np.asarray(b) + np.asarray(c), np.asarray(a), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_binned_integrate_matches_single_call():
+    """Sequential in-place integrate over disjoint bins == one call over
+    the union (interpret mode, th variants)."""
+    from instancefusion_tpu.ops import blocks as blk
+    from instancefusion_tpu.ops.pallas.tsdf import fused_integrate_groups
+
+    cfg, bm, f, intr = _binned_scene()
+    kg = 128
+    gids, gv = blk.frustum_groups(bm, f.T_wc, intr, cfg, 0.2, 4.0, kg)
+    gs, rvs, gl, rvl = blk.frustum_groups_binned(
+        bm, f.T_wc, intr, cfg, 0.2, 4.0, kg, kg, th_small=64, rmax=3
+    )
+    one = fused_integrate_groups(
+        gids, gv, bm.block_coords, bm.sdf, bm.weight, bm.color,
+        f.depth, f.color, f.T_wc, intr, cfg, interpret=True,
+    )
+    sdf, w, col = bm.sdf, bm.weight, bm.color
+    for g, rv, th in ((gs, rvs, 64), (gl, rvl, None)):
+        sdf, w, col = fused_integrate_groups(
+            g, rv, bm.block_coords, sdf, w, col,
+            f.depth, f.color, f.T_wc, intr, cfg, interpret=True, th=th,
+        )
+    np.testing.assert_allclose(np.asarray(sdf), np.asarray(one[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(one[1]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(one[2]), atol=1e-6)
