@@ -61,9 +61,11 @@ _WATCHDOG = None
 
 def main() -> None:
     # 512^3 compile is ~1-2 min alone but several minutes when the host is
-    # also compiling CPU-mesh tests; leave headroom so a loaded box still
-    # reports a real number instead of a watchdog line.
-    _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "720")))
+    # also compiling CPU-mesh tests; leave generous headroom — the
+    # watchdog's os._exit lands mid-RPC and can wedge the relay tunnel
+    # for every later process (observed 2026-08-21), so firing it on a
+    # merely-slow compile is far worse than waiting longer.
+    _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1500")))
     import jax
 
     if os.environ.get("BENCH_PLATFORM"):
@@ -102,6 +104,7 @@ def main() -> None:
             table_capacity=65536,
             touched_capacity=touched_cap,
             use_pallas=use_pallas,
+            bin_groups=os.environ.get("BENCH_BIN", "1") == "1",
         ),
         icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas,
                       assoc_every=(2, 2, 4)),
