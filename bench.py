@@ -104,7 +104,7 @@ def main() -> None:
             table_capacity=65536,
             touched_capacity=touched_cap,
             use_pallas=use_pallas,
-            bin_groups=os.environ.get("BENCH_BIN", "1") == "1",
+            bin_groups=os.environ.get("BENCH_BIN", "0") == "1",
         ),
         icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas,
                       assoc_every=(2, 2, 4)),

@@ -80,8 +80,11 @@ class TsdfConfig:
     # (blocks.frustum_groups_binned): groups fitting a 64-row window run
     # half-height variants of the integrate/splat kernels (~most groups
     # at 512^3/VGA, median footprint ~42 px), the rest the full 128-row
-    # kernels.  TPU group-kernel path only.
-    bin_groups: bool = True
+    # kernels.  TPU group-kernel path only.  Off by default until the
+    # Mosaic lowering of the th=64 variants is validated on a real chip
+    # (interpret-mode goldens pass; the tunnel was down when this landed
+    # — flip on + BENCH_BIN=1 once measured).
+    bin_groups: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
