@@ -21,8 +21,13 @@ class IcpConfig:
     levels: int = 3
     dist_thresh: float = 0.10  # m, association gate
     angle_thresh: float = 0.34  # sin(angle) gate, ~20 deg
-    # Photometric (RGB) term weight relative to geometric ICP term
-    # (reference blends wICP*ICP + wRGB*RGB; 0 disables the RGB term).
+    # Photometric (RGB) term weight: the FRACTION of the joint system's
+    # information the photometric term carries (trust-fraction
+    # normalized by the Hgeo/Hrgb trace ratio at solve time, so it is
+    # resolution-independent — raw photometric JtJ scales with fx^2 and
+    # a fixed blend would bury the geometric term ~10^3:1 at VGA).
+    # 0 disables the RGB term.  The reference blends wICP*ICP + wRGB*RGB
+    # with fixed weights instead.
     rgb_weight: float = 0.1
     damping: float = 1e-6  # Levenberg-style diagonal damping for the 6x6 solve
     # Huber IRLS weight on the point-to-plane residual (meters; 0 = hard

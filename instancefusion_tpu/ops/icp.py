@@ -327,8 +327,15 @@ def track(
                     src["vmap"], src["intensity"], *rgb_fix,
                     T, T_pred_cw, intr_l,
                 )
-                # Scale the photometric system into metric units.
-                wr = cfg.rgb_weight
+                # Trust-fraction combine: the raw photometric JtJ scales
+                # with fx^2 (intensity gradients x fx/z) and would bury
+                # the geometric system ~10^3:1 at VGA; normalizing by the
+                # trace ratio makes rgb_weight the resolution-independent
+                # FRACTION of the joint information the photometric term
+                # carries.
+                wr = cfg.rgb_weight * jnp.trace(H6) / jnp.maximum(
+                    jnp.trace(Hr), 1e-20
+                )
                 H6 = H6 + wr * Hr
                 b6 = b6 + wr * br
             xi = solve_increment(H6, b6, cfg)

@@ -306,6 +306,9 @@ def _gn_kernel(
     def _reset_acc():
         for k in range(32):
             smem[16 + k] = 0.0
+        if use_rgb:
+            for k in range(27):
+                smem[64 + k] = 0.0
 
     # --- one linearization pass over this tile
     r00, r01, r02, t0 = smem[0], smem[1], smem[2], smem[3]
@@ -361,7 +364,7 @@ def _gn_kernel(
         gwy = c01 * gpx + c11 * gpy + c21 * gpz
         gwz = c02 * gpx + c12 * gpy + c22 * gpz
         rc = rit[:] - ris[:]
-        mrg = rgate[:] * jnp.where(pcz > 0.0, 1.0, 0.0) * rgb_weight
+        mrg = rgate[:] * jnp.where(pcz > 0.0, 1.0, 0.0)
         jr = (
             gwx, gwy, gwz,
             py * gwz - pz * gwy,
@@ -372,16 +375,22 @@ def _gn_kernel(
     k = 0
     for a in range(6):
         for b in range(a, 6):
-            s = jnp.sum(j[a] * j[b] * w)
+            smem[16 + k] = smem[16 + k] + jnp.sum(j[a] * j[b] * w)
             if use_rgb:
-                s = s + jnp.sum(jr[a] * jr[b] * mrg)
-            smem[16 + k] = smem[16 + k] + s
+                # Photometric sums accumulate SEPARATELY (slots 64..90):
+                # the solve combines them trust-fraction normalized
+                # (wr_eff = rgb_weight * tr(Hgeo)/tr(Hrgb)) so the rgb
+                # system carries a resolution-independent FRACTION of the
+                # joint information — raw photometric JtJ scales with
+                # fx^2 and would bury the geometric term ~10^3:1 at VGA.
+                smem[64 + k] = smem[64 + k] + jnp.sum(jr[a] * jr[b] * mrg)
             k += 1
     for a in range(6):
-        s = jnp.sum(j[a] * (-r) * w)
+        smem[16 + 21 + a] = smem[16 + 21 + a] + jnp.sum(j[a] * (-r) * w)
         if use_rgb:
-            s = s + jnp.sum(jr[a] * (-rc) * mrg)
-        smem[16 + 21 + a] = smem[16 + 21 + a] + s
+            smem[64 + 21 + a] = smem[64 + 21 + a] + jnp.sum(
+                jr[a] * (-rc) * mrg
+            )
     smem[16 + 27] = smem[16 + 27] + jnp.sum(gate)
     smem[16 + 28] = smem[16 + 28] + jnp.sum(jnp.abs(r) * w)
 
@@ -396,6 +405,24 @@ def _gn_kernel(
                 H[b][a] = smem[16 + kk]
                 kk += 1
         bvec = [smem[16 + 21 + a] for a in range(6)]
+        if use_rgb:
+            # Trust-fraction combine: wr_eff = w * tr(Hgeo)/tr(Hrgb).
+            diag_idx = [0, 6, 11, 15, 18, 20]
+            trg = 0.0
+            trr = 0.0
+            for di in diag_idx:
+                trg = trg + smem[16 + di]
+                trr = trr + smem[64 + di]
+            wr_eff = rgb_weight * trg / jnp.maximum(trr, 1e-20)
+            kk = 0
+            for a in range(6):
+                for b in range(a, 6):
+                    H[a][b] = H[a][b] + wr_eff * smem[64 + kk]
+                    H[b][a] = H[a][b]
+                    kk += 1
+            bvec = [
+                bvec[a] + wr_eff * smem[64 + 21 + a] for a in range(6)
+            ]
         nin = smem[16 + 27]
         # Levenberg-style damping, as ops/icp.solve_increment.
         for a in range(6):
@@ -564,7 +591,7 @@ def gn_iterations(
         in_specs=[spec] * len(planes) + [tspec],
         out_specs=tspec,
         out_shape=jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((64,), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((96,), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),

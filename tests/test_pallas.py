@@ -369,8 +369,10 @@ def test_gn_iterations_rgb_matches_jnp_inner_loop():
         Hr, br, _, _ = icp.reduce_rgb_equations(
             v_img, i_img, i_t, gx_t, gy_t, rgb_ok, Tc, T_pred_cw, intr
         )
-        H6 = H6 + cfg.rgb_weight * Hr
-        b6 = b6 + cfg.rgb_weight * br
+        # Trust-fraction combine (matches icp.track and the kernel).
+        wr = cfg.rgb_weight * jnp.trace(H6) / jnp.maximum(jnp.trace(Hr), 1e-20)
+        H6 = H6 + wr * Hr
+        b6 = b6 + wr * br
         xi = icp.solve_increment(H6, b6, cfg)
         xi = jnp.where(nin >= cfg.min_valid, xi, jnp.zeros_like(xi))
         Tc = jnp.matmul(se3_exp(xi), Tc, precision=jax.lax.Precision.HIGHEST)
