@@ -30,21 +30,42 @@ cfg = EngineConfig(
 )
 
 n = int(os.environ.get("N", "40"))
-# NOISY=1: Kinect noise model + fr1-class handheld motion (the stress
-# rig — r3 VERDICT item 4); default stays the clean orbit for parity
-# with earlier rounds' numbers.
+# NOISY=1: Kinect noise model + fr1-calibrated handheld motion (r3
+# VERDICT item 4); default stays the clean orbit for parity with
+# earlier rounds' numbers.
+#
+# Calibration note (measured 2026-08-21): the rig below matches TUM
+# fr1_desk's MEAN velocities (23 deg/s, 0.41 m/s -> ~0.8 deg / ~13 mm
+# per 30 Hz frame) with ~2x peaks — errors stay <10 mm through the
+# noise.  SWEEP/SHAKE env knobs raise it; at ~3x fr1-mean rotation
+# SUSTAINED for the whole run (sweep 1.6 + shake 0.02, i.e. fr1's
+# worst seconds held continuously) frame-to-model tracking at VGA
+# accumulates 50-100 mm map-feedback drift with no tracking-health
+# trip — a known open robustness limit (frames fuse slightly
+# misaligned, the map drags the next solve), NOT a Pallas-path bug:
+# the jnp path drifts identically, and knob bisects (assoc_every=1,
+# vel_seed=0, more iters) do not rescue it.
 noisy = os.environ.get("NOISY", "0") == "1"
 if noisy:
     import dataclasses
 
     import jax
 
+    icp_pallas = os.environ.get("ICP_PALLAS", "1") == "1"
+    ae = int(os.environ.get("ASSOC", "0"))
+    assoc = (ae, ae, ae) if ae else (2, 2, 4)
+    vel = float(os.environ.get("VEL", "0.8"))
     cfg = dataclasses.replace(
         cfg,
-        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=True,
-                      assoc_every=(2, 2, 4), vel_seed=0.8),
+        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=icp_pallas,
+                      assoc_every=assoc, vel_seed=vel),
     )
-    poses = synthetic.handheld_trajectory(n)
+    poses = synthetic.handheld_trajectory(
+        n,
+        sweep=float(os.environ.get("SWEEP", "0.8")),
+        shake_rot=float(os.environ.get("SHAKE", "0.012")),
+        shake_trans=0.008,
+    )
     keys = jax.random.split(jax.random.PRNGKey(0), n)
     frames = [
         synthetic.add_sensor_noise(
