@@ -23,34 +23,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: the shard_map raycast programs take minutes to
-# partition on the virtual mesh; cache them across test runs/processes.
-#
-# The cache dir is keyed by a HOST FINGERPRINT (jax version + CPU flags):
-# /tmp survives across sessions that may land on machines with different
-# CPU tuning features, and XLA:CPU AOT executables loaded under
-# mismatched features SEGFAULT the whole pytest process (observed
-# 2026-08-21: `cpu_aot_loader` feature-mismatch warnings escalating to a
-# hard SIGSEGV in compilation_cache.get_executable_and_time).
-import hashlib
-
-
-def _host_fingerprint() -> str:
-    h = hashlib.sha256()
-    h.update(jax.__version__.encode())
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    h.update(line.encode())
-                    break
-    except OSError:
-        pass
-    return h.hexdigest()[:12]
-
-
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/jax_cache_ifusion_{_host_fingerprint()}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compile cache for tests.  This jaxlib's XLA:CPU AOT
+# executable serialization is unstable on this box: loading entries
+# written under different CPU tuning features segfaults
+# (compilation_cache.get_executable_and_time), and after purging the
+# cache a fresh WRITE segfaulted too (put_executable_and_time) —
+# observed 2026-08-21 killing the whole pytest process mid-suite.  The
+# r3 cache bought little anyway (shard_map partitioning time, not XLA
+# compile, dominates the slow tests); correctness beats warm-ups.
+# In-memory (per-process) jit caching is unaffected.
