@@ -65,6 +65,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                    help="override the preset's map shard count (0 = preset "
                         "default; >1 runs the slab-sharded engine on a "
                         "device mesh — configs 4/5)")
+    p.add_argument("--reshard-every", type=int, default=0,
+                   help="occupancy-rebalance poll cadence for the sharded "
+                        "map (0 = off; fires on skew > --reshard-skew)")
+    p.add_argument("--reshard-skew", type=float, default=1.5,
+                   help="max/mean blocks-per-shard ratio that triggers an "
+                        "all_to_all rebalance")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -205,6 +211,8 @@ def cmd_run(args: argparse.Namespace) -> int:
             gt_odometry=np.asarray(gt) if (args.gt_odometry and gt is not None) else None,
             local_loops=args.local_loops,
             local_every=args.local_every,
+            reshard_every=args.reshard_every,
+            reshard_skew=args.reshard_skew,
         )
     metrics.close()
 

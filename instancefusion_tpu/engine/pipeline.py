@@ -87,6 +87,8 @@ def run(
     local_loops: bool = False,
     local_every: int = 3,
     local_min_blocks: int = 24,
+    reshard_every: int = 0,
+    reshard_skew: float = 1.5,
 ) -> PipelineResult:
     """Run the full pipeline over `frames` (iterable of dataset Frames).
 
@@ -114,10 +116,6 @@ def run(
         if local_loops or cfg.track_stamps:
             raise ValueError(
                 "active/inactive local loops are a single-shard feature"
-            )
-        if stream_every or clean_every or retire_every:
-            raise ValueError(
-                "streaming/clean/retire cadences are single-shard features"
             )
         if cfg.posegraph.max_landmarks % cfg.num_shards:
             raise ValueError("max_landmarks must divide num_shards")
@@ -171,13 +169,21 @@ def run(
 
     streamer = None
     if stream_every and cfg.map_kind == "blocks":
-        from instancefusion_tpu.engine.streaming import BlockStreamer
+        if sharded:
+            from instancefusion_tpu.engine.streaming import ShardedBlockStreamer
 
-        streamer = BlockStreamer(
-            cfg.tsdf, radius=stream_radius,
-            with_color=cfg.use_color, with_votes=cfg.use_instances,
-            with_stamps=cfg.track_stamps,
-        )
+            streamer = ShardedBlockStreamer(
+                cfg.tsdf, mesh, radius=stream_radius,
+                with_color=cfg.use_color, with_votes=cfg.use_instances,
+            )
+        else:
+            from instancefusion_tpu.engine.streaming import BlockStreamer
+
+            streamer = BlockStreamer(
+                cfg.tsdf, radius=stream_radius,
+                with_color=cfg.use_color, with_votes=cfg.use_instances,
+                with_stamps=cfg.track_stamps,
+            )
         if resume and checkpoint_dir and start_frame:
             # Evicted blocks live ONLY in the host store (device XOR
             # store) — restore it with the device state or they are gone.
@@ -237,11 +243,12 @@ def run(
                             # The re-seated view may cover streamed-out
                             # geometry — admit the window there first.
                             volume, votes, stamp, _ = streamer.tick(
-                                state.volume, state.votes, T_new, state.stamp
+                                state.volume, state.votes, T_new,
+                                getattr(state, "stamp", None),
                             )
-                            state = state._replace(
-                                volume=volume, votes=votes, stamp=stamp
-                            )
+                            state = state._replace(volume=volume, votes=votes)
+                            if stamp is not None:
+                                state = state._replace(stamp=stamp)
                         # Re-render the model prediction from the re-seated
                         # pose: the stale prediction views the wrong part of
                         # the map and would starve the next ICP of
@@ -447,18 +454,27 @@ def run(
             and cfg.map_kind == "blocks"
             and (i + 1) % clean_every == 0
         ):
-            from instancefusion_tpu.ops import blocks as blk
-
-            out = blk.clean(
-                state.volume, cfg.tsdf, min_weight=1.0, votes=state.votes,
-                stamp=state.stamp,
-            )
-            if state.stamp is not None:
-                volume, votes, stamp = out
-                state = state._replace(volume=volume, votes=votes, stamp=stamp)
-            else:
-                volume, votes = out
+            if sharded:
+                volume, votes = shardmod.clean(
+                    state.volume, mesh, cfg.tsdf, min_weight=1.0,
+                    votes=state.votes,
+                )
                 state = state._replace(volume=volume, votes=votes)
+            else:
+                from instancefusion_tpu.ops import blocks as blk
+
+                out = blk.clean(
+                    state.volume, cfg.tsdf, min_weight=1.0, votes=state.votes,
+                    stamp=state.stamp,
+                )
+                if state.stamp is not None:
+                    volume, votes, stamp = out
+                    state = state._replace(
+                        volume=volume, votes=votes, stamp=stamp
+                    )
+                else:
+                    volume, votes = out
+                    state = state._replace(volume=volume, votes=votes)
         if (
             retire_every
             and cfg.use_instances
@@ -471,9 +487,45 @@ def run(
         if streamer is not None and (i + 1) % stream_every == 0:
             with timer.phase("stream"):
                 volume, votes, stamp, stream_stats = streamer.tick(
-                    state.volume, state.votes, state.T_wc, state.stamp
+                    state.volume, state.votes, state.T_wc,
+                    getattr(state, "stamp", None),
                 )
-                state = state._replace(volume=volume, votes=votes, stamp=stamp)
+                state = state._replace(volume=volume, votes=votes)
+                if stamp is not None:
+                    state = state._replace(stamp=stamp)
+
+        # Occupancy-rebalance policy (SURVEY §3.2 "all_to_all for block
+        # re-sharding"): when per-shard occupancy skews — the camera
+        # dwelling in one shard's slab — recompute occupancy-balanced
+        # slab cuts from the replicated directory and drain the rows to
+        # their new owners.  Also fires right after a loop closure or
+        # relocalization (the trajectory re-anchors where the camera
+        # will fuse next).
+        reshard_migrated = 0
+        if (
+            sharded
+            and reshard_every
+            and ((i + 1) % reshard_every == 0 or closed or relocalized)
+        ):
+            counts = np.asarray(state.volume.n_active)
+            if counts.max() > reshard_skew * max(counts.mean(), 1.0):
+                with timer.phase("reshard"):
+                    vol = state.volume._replace(
+                        cuts=shardmod.balanced_cuts(
+                            state.volume.directory, cfg.tsdf, cfg.num_shards
+                        )
+                    )
+                    votes_r = state.votes
+                    for _ in range(8):
+                        vol, votes_r, migrated, leftover = shardmod.reshard(
+                            vol, mesh, cfg.tsdf, votes=votes_r
+                        )
+                        reshard_migrated += int(migrated.sum())
+                        if int(leftover.sum()) == 0:
+                            break
+                    state = slam._unalias_pytree(
+                        state._replace(volume=vol, votes=votes_r)
+                    )
 
         est.append(np.asarray(jnp.matmul(T_wm, state.T_wc, precision=_PREC)))
         if metrics is not None:
@@ -490,6 +542,7 @@ def run(
                     "relocalized": relocalized,
                     "seg_dispatched": seg_dispatched,
                     "lost_frames": int(state.lost_frames),
+                    "reshard_migrated": reshard_migrated,
                     **stream_stats,
                     **{f"t_{k}_ms": round(v, 2) for k, v in timer.times_ms.items()},
                 }

@@ -463,7 +463,7 @@ def fuse_segmentation(
     sample, MXU IoU association + table update, Boyer-Moore voting).
     """
     assert cfg.use_instances
-    mask_id = labels.refine_mask_edges(seg.mask_id, depth)
+    mask_id = labels.refine_mask_edges(seg.mask_id, depth, intr=cfg.intrinsics)
     seg = seg._replace(mask_id=mask_id)
     pred_gid = labels.sample_nearest(
         state.votes,

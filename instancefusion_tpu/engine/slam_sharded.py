@@ -232,7 +232,7 @@ def make_step_seg(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
 
     def step_seg(state: ShardedSlamState, depth, color, seg):
         new_state, info = base(state, depth, color)
-        mask_id = labels.refine_mask_edges(seg.mask_id, depth)
+        mask_id = labels.refine_mask_edges(seg.mask_id, depth, intr=intr)
         seg_r = seg._replace(mask_id=mask_id)
         pred_gid = shard.sample_labels(
             new_state.votes, new_state.volume,
@@ -266,7 +266,7 @@ def make_fuse_segmentation(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
     intr = cfg.intrinsics
 
     def fuse_seg(state: ShardedSlamState, seg, depth, T_mc):
-        mask_id = labels.refine_mask_edges(seg.mask_id, depth)
+        mask_id = labels.refine_mask_edges(seg.mask_id, depth, intr=intr)
         seg_r = seg._replace(mask_id=mask_id)
         pred_gid = shard.sample_labels(
             state.votes, state.volume,

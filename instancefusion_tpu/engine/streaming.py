@@ -123,14 +123,7 @@ class BlockStreamer:
         valid = jnp.asarray(
             np.concatenate([np.ones(len(rows), bool), np.zeros(n - len(rows), bool)])
         )
-        out = _admit_jit(
-            volume, self.cfg, batch("coords"), batch("sdf"), batch("weight"),
-            batch("color") if self.with_color else None, valid, votes,
-            batch("label") if self.with_votes else None,
-            batch("count") if self.with_votes else None,
-            stamp,
-            batch("stamp") if (stamp is not None and self.with_stamps) else None,
-        )
+        out = self._admit_call(volume, votes, batch, valid, stamp)
         if stamp is not None:
             volume, votes, fits, stamp = out
         else:
@@ -142,12 +135,27 @@ class BlockStreamer:
                 self.store[int(hot[i])] = r
         return volume, votes, stamp, int(fits_np.sum())
 
-    def evict(self, volume, votes, center_w: np.ndarray, stamp=None):
-        """Move live blocks outside the window to the host store."""
-        out = _partition_jit(
+    def _admit_call(self, volume, votes, batch, valid, stamp):
+        """Device half of admission (overridden by the sharded streamer)."""
+        return _admit_jit(
+            volume, self.cfg, batch("coords"), batch("sdf"), batch("weight"),
+            batch("color") if self.with_color else None, valid, votes,
+            batch("label") if self.with_votes else None,
+            batch("count") if self.with_votes else None,
+            stamp,
+            batch("stamp") if (stamp is not None and self.with_stamps) else None,
+        )
+
+    def _evict_call(self, volume, votes, center_w, stamp):
+        """Device half of eviction (overridden by the sharded streamer)."""
+        return _partition_jit(
             volume, self.cfg, jnp.asarray(center_w, jnp.float32),
             self.radius, votes, self.evict_cap, stamp,
         )
+
+    def evict(self, volume, votes, center_w: np.ndarray, stamp=None):
+        """Move live blocks outside the window to the host store."""
+        out = self._evict_call(volume, votes, center_w, stamp)
         if stamp is not None:
             volume, votes_new, ev, stamp = out
         else:
@@ -213,3 +221,55 @@ class BlockStreamer:
             "stream_out": n_out,
             "stored_blocks": len(self.store),
         }
+
+
+class ShardedBlockStreamer(BlockStreamer):
+    """Block streaming for the slab-sharded map (configs 4/5).
+
+    Same host store, save/load format, and tick policy as the
+    single-chip streamer; only the device halves change — eviction
+    compacts each shard's own cold rows (parallel/shard.partition_window,
+    [S*evict_cap] bounded pull), admission appends each row on its slab
+    owner (shard.admit_rows, cuts ownership).  Stamps are a single-shard
+    feature (the sharded engine tracks none).
+    """
+
+    def __init__(self, cfg, mesh, radius: float, evict_cap: int = 1024,
+                 admit_cap: int = 1024, with_color: bool = True,
+                 with_votes: bool = False):
+        super().__init__(
+            cfg, radius, evict_cap=evict_cap, admit_cap=admit_cap,
+            with_color=with_color, with_votes=with_votes, with_stamps=False,
+        )
+        from instancefusion_tpu.parallel import shard
+
+        self.mesh = mesh
+
+        def _evict(vol, votes, center):
+            return shard.partition_window(
+                vol, mesh, cfg, center, self.radius, self.evict_cap, votes
+            )
+
+        def _admit(vol, votes, coords, sdf, weight, color, valid, lab, cnt):
+            return shard.admit_rows(
+                vol, mesh, cfg, coords, sdf, weight, color, valid,
+                votes, lab, cnt,
+            )
+
+        self._evict_fn = jax.jit(_evict)
+        self._admit_fn = jax.jit(_admit)
+
+    def _admit_call(self, volume, votes, batch, valid, stamp):
+        assert stamp is None, "sharded streaming has no stamp planes"
+        return self._admit_fn(
+            volume, votes, batch("coords"), batch("sdf"), batch("weight"),
+            batch("color") if self.with_color else None, valid,
+            batch("label") if self.with_votes else None,
+            batch("count") if self.with_votes else None,
+        )
+
+    def _evict_call(self, volume, votes, center_w, stamp):
+        assert stamp is None, "sharded streaming has no stamp planes"
+        return self._evict_fn(
+            volume, votes, jnp.asarray(center_w, jnp.float32)
+        )

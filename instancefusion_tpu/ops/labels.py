@@ -165,18 +165,47 @@ def refine_mask_edges(
     mask_id: jnp.ndarray,  # i32[H,W]
     depth: jnp.ndarray,  # f32[H,W]
     edge_thresh: float = 0.05,
+    intr: Intrinsics | None = None,
+    normal_dot: float = 0.6,
 ) -> jnp.ndarray:
-    """Invalidate mask labels on strong depth discontinuities.
+    """Invalidate mask labels on depth AND normal discontinuities.
 
     The reference runs CUDA mask-refinement kernels snapping Mask R-CNN's
-    soft borders to depth/normal edges; network masks bleed across
-    silhouettes, which would vote wrong labels onto background geometry.
-    Here: a pixel whose 4-neighborhood depth range exceeds `edge_thresh`
-    (or touches invalid depth) is dropped from every mask.
+    soft borders to depth/normal edges (SURVEY §4.5); network masks bleed
+    across silhouettes, which would vote wrong labels onto background
+    geometry.  Two edge classes:
+
+    - **Depth edges** (silhouettes): a pixel whose 4-neighborhood depth
+      range exceeds `edge_thresh` (or touches invalid depth) is dropped.
+    - **Normal edges** (creases): tangential surfaces meeting at a
+      concave corner — a box sitting on the floor, a wall/floor seam —
+      have NO depth jump, so depth edges alone let labels bleed across
+      the seam.  With `intr` given, the frame normal map (central
+      differences of the backprojection — the same construction the
+      tracking pyramid uses) marks pixels whose neighbor normals disagree
+      (dot < `normal_dot`) as crease edges and drops them too.
     """
     d = depth
     neigh = [jnp.roll(d, s, a) for s, a in ((1, 0), (-1, 0), (1, 1), (-1, 1))]
     dmin = jnp.minimum(jnp.minimum(neigh[0], neigh[1]), jnp.minimum(neigh[2], neigh[3]))
     dmax = jnp.maximum(jnp.maximum(neigh[0], neigh[1]), jnp.maximum(neigh[2], neigh[3]))
     edge = (dmax - dmin > edge_thresh) | (dmin <= 0.0) | (d <= 0.0)
+
+    if intr is not None:
+        from instancefusion_tpu.geometry.camera import backproject
+        from instancefusion_tpu.ops.preprocess import compute_normals
+
+        nmap, nvalid = compute_normals(backproject(intr, d))
+        dots = []
+        for s, a in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+            nn = jnp.roll(nmap, s, a)
+            nv = jnp.roll(nvalid, s, a)
+            dot = jnp.sum(nmap * nn, axis=-1)
+            # Invalid neighbors don't witness a crease (the depth term
+            # already drops invalid-depth borders).
+            dots.append(jnp.where(nvalid & nv, dot, 1.0))
+        min_dot = jnp.minimum(
+            jnp.minimum(dots[0], dots[1]), jnp.minimum(dots[2], dots[3])
+        )
+        edge = edge | (min_dot < normal_dot)
     return jnp.where(edge, -1, mask_id)

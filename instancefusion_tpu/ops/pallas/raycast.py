@@ -481,6 +481,7 @@ def splat_depth_ref(
     with_color: bool = True,
     depth_prior: jnp.ndarray | None = None,
     rmax: int = 8,
+    raw: bool = False,
 ) -> SplatImages:
     """jnp golden for the splat kernel (scatter-add tent rasterization).
 
@@ -488,7 +489,10 @@ def splat_depth_ref(
     rounding; also the engine's CPU-path predictor (Pallas interpret mode
     is far too slow to run per frame in tests).  `rmax` must match the
     value given to `splat_depth` — the scatter pass count is (2*rmax+1)^2,
-    so CPU configs keep it small.
+    so CPU configs keep it small.  `raw=True` returns the six accumulator
+    planes (num, dens, denr, r, g, b) instead of finished images — the
+    sharded engine psums the disjoint shards' planes and normalizes once
+    (`finish_splat_images`), exactly like the binned TPU path.
     """
     h, w_img = intr.height, intr.width
     if color.size == 0 or not with_color:
@@ -546,6 +550,11 @@ def splat_depth_ref(
                 acc[ci] = acc[ci].at[pys, pxs].add(
                     jnp.where(ok, ch * t2, 0.0), mode="drop"
                 )
+    if raw:
+        zeros = jnp.zeros((h, w_img), jnp.float32)
+        return tuple(acc[:3]) + (
+            tuple(acc[3:6]) if with_color else (zeros, zeros, zeros)
+        )
     num, dens, denr = acc[0], acc[1], acc[2]
     valid = (denr > _DEN_TAU) & (dens > 1e-30)
     dsafe = jnp.maximum(dens, 1e-30)
@@ -567,7 +576,7 @@ def splat_depth_ref(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "tsdf_cfg", "with_color", "interpret", "rmax"),
+    static_argnames=("intr", "tsdf_cfg", "with_color", "interpret", "rmax", "raw"),
 )
 def splat_depth(
     slots: jnp.ndarray,  # i32[K] payload rows to render
@@ -583,6 +592,7 @@ def splat_depth(
     interpret: bool = False,
     depth_prior: jnp.ndarray | None = None,
     rmax: int = 8,
+    raw: bool = False,
 ) -> SplatImages:
     """Rasterize the listed blocks into composited depth/color images.
 
@@ -647,6 +657,10 @@ def splat_depth(
         interpret=interpret,
     )(meta_i.reshape(-1), meta_f.reshape(-1), cam.reshape(-1),
        sdf_rows, wgt_rows, col_rows)
+    if raw:
+        # Raw scatter-add accumulators (see splat_depth_groups): summing
+        # planes from disjoint block sets is exact.
+        return outs
     num, dens, denr, outr, outg, outb = (o[:h, :w] for o in outs)
 
     valid = (denr > _DEN_TAU) & (dens > 1e-30)

@@ -40,6 +40,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -59,6 +60,39 @@ class ShardedBlockMap(NamedTuple):
     sdf: jnp.ndarray  # f32[S*Cl, B^3]
     weight: jnp.ndarray  # f32[S*Cl, B^3]
     color: jnp.ndarray  # f32[S*Cl, 3*B^3] packed [r|g|b] (blocks.pack_color)
+    # Slab partition of the x block-axis (replicated): shard s owns block
+    # x-coords in [cuts[s-1], cuts[s]) with implicit cuts[-1]=0,
+    # cuts[S-1]=Nb.  Starts uniform; the reshard policy rebalances it
+    # from the occupancy histogram (balanced_cuts) and one `all_to_all`
+    # migrates the rows (SURVEY §3.2 "all_to_all for block re-sharding").
+    cuts: jnp.ndarray = None  # i32[S-1]
+
+
+def uniform_cuts(cfg: TsdfConfig, num_shards: int) -> jnp.ndarray:
+    nb = blk.num_blocks_per_axis(cfg)
+    return (jnp.arange(1, num_shards, dtype=jnp.int32) * nb) // num_shards
+
+
+def balanced_cuts(directory, cfg: TsdfConfig, num_shards: int) -> jnp.ndarray:
+    """Occupancy-balanced slab cuts from the (replicated) directory.
+
+    Splits the x block-axis so each shard owns ~1/S of the allocated
+    blocks: per-x-layer occupancy -> cumulative sum -> the first layer
+    index whose prefix crosses each s/S quantile.  Cheap enough to run on
+    the fetched directory at policy cadence (Nb^3 <= 64^3 int compares).
+    """
+    nb = blk.num_blocks_per_axis(cfg)
+    occ = np.asarray(directory).reshape(nb, -1)
+    occ_x = (occ >= 0).sum(axis=1).astype(np.int64)
+    csum = np.cumsum(occ_x)
+    total = int(csum[-1])
+    targets = (np.arange(1, num_shards) * total) // num_shards
+    # cut[s] = first layer index NOT owned by shards < s+1.
+    cuts = np.searchsorted(csum, targets, side="left") + 1
+    cuts = np.clip(cuts, 1, nb - 1)
+    # Monotonicity under ties (empty slabs are allowed but keep order).
+    cuts = np.maximum.accumulate(cuts)
+    return jnp.asarray(cuts, jnp.int32)
 
 
 def allocate(cfg: TsdfConfig, num_shards: int, with_color: bool = True) -> ShardedBlockMap:
@@ -74,11 +108,22 @@ def allocate(cfg: TsdfConfig, num_shards: int, with_color: bool = True) -> Shard
         sdf=jnp.full((c, b3), blk.UNOBSERVED, jnp.float32),
         weight=jnp.zeros((c, b3), jnp.float32),
         color=jnp.zeros((c, 3 * b3 if with_color else 0), jnp.float32),
+        cuts=uniform_cuts(cfg, num_shards),
     )
 
 
-def _slab_of(bx: jnp.ndarray, nb: int, num_shards: int) -> jnp.ndarray:
-    return jnp.clip(bx // (nb // num_shards), 0, num_shards - 1)
+def _slab_of(bx: jnp.ndarray, cuts: jnp.ndarray) -> jnp.ndarray:
+    """Owner shard of block x-coord `bx` under the slab partition `cuts`.
+
+    cuts is tiny (S-1 entries) and ascending, so ownership is a sum of
+    elementwise compares — no gather (the searchsorted analog that stays
+    off the TPU gather path).
+    """
+    if cuts.shape[0] == 0:
+        return jnp.zeros_like(bx)
+    return jnp.sum(
+        (bx[..., None] >= cuts[(None,) * bx.ndim]).astype(jnp.int32), axis=-1
+    )
 
 
 def _local_map(bm_local, directory) -> blk.BlockMap:
@@ -96,7 +141,7 @@ def _local_map(bm_local, directory) -> blk.BlockMap:
 
 def _integrate_shard(
     directory, coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l,
-    depth, color, T_wc, *, intr: Intrinsics, cfg: TsdfConfig,
+    cuts, depth, color, T_wc, *, intr: Intrinsics, cfg: TsdfConfig,
     num_shards: int, max_touched: int,
 ):
     """Per-shard body: allocate my slab's blocks, update my rows."""
@@ -110,7 +155,7 @@ def _integrate_shard(
     dir_flat = directory.reshape(-1)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
     bx = idx // (nb * nb)
-    mine = _slab_of(bx, nb, num_shards) == sid
+    mine = _slab_of(bx, cuts) == sid
 
     # --- allocation (local prefix sum, pmax merge of disjoint proposals)
     need = touched & (dir_flat < 0) & mine
@@ -208,7 +253,7 @@ def integrate(
         in_specs=(
             P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
             P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-            P(), P(), P(),
+            P(), P(), P(), P(),
         ),
         out_specs=(
             P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
@@ -218,16 +263,16 @@ def integrate(
     )
     directory, coords, n_active, overflow, sdf, w, col = fn(
         bm.directory, bm.block_coords, bm.n_active, bm.overflow,
-        bm.sdf, bm.weight, bm.color, depth, color_in, T_wc,
+        bm.sdf, bm.weight, bm.color, bm.cuts, depth, color_in, T_wc,
     )
-    return ShardedBlockMap(
+    return bm._replace(
         directory=directory, block_coords=coords, n_active=n_active,
         overflow=overflow, sdf=sdf, weight=w, color=col,
     )
 
 
 def _halo_exchange(
-    directory, coords_l, sdf_l, w_l, col_l, *, cfg: TsdfConfig,
+    directory, coords_l, sdf_l, w_l, col_l, cuts, *, cfg: TsdfConfig,
     num_shards: int, halo_cap: int, sid,
 ):
     """ppermute my slab-boundary block rows to both neighbors.
@@ -237,11 +282,17 @@ def _halo_exchange(
     """
     nb = blk.num_blocks_per_axis(cfg)
     cl = sdf_l.shape[0]
-    slab = nb // num_shards
     dir_flat = directory.reshape(-1)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
     bx = idx // (nb * nb)
-    owner = _slab_of(bx, nb, num_shards)
+    owner = _slab_of(bx, cuts)
+    # My slab is [lo, hi) on the x block-axis under the (possibly
+    # rebalanced) cut partition.
+    cuts_ext = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32), cuts, jnp.full((1,), nb, jnp.int32)
+    ])
+    lo = cuts_ext[sid]
+    hi = cuts_ext[sid + 1]
 
     def boundary_rows(layer_bx):
         """Compact my allocated blocks at x-layer `layer_bx` (<= halo_cap)."""
@@ -260,9 +311,11 @@ def _halo_exchange(
         block_id = jnp.where(ok, tidx, -1)
         return block_id, rows_sdf, rows_w, rows_col
 
-    # Send my last layer right, my first layer left.
-    right_payload = boundary_rows(sid * slab + (slab - 1))
-    left_payload = boundary_rows(sid * slab)
+    # Send my last layer right, my first layer left.  (An empty slab —
+    # possible after an aggressive rebalance — selects nothing; the
+    # neighbor then sees an all-invalid halo, which is correct.)
+    right_payload = boundary_rows(hi - 1)
+    left_payload = boundary_rows(lo)
     perm_r = [(i, (i + 1) % num_shards) for i in range(num_shards)]
     perm_l = [(i, (i - 1) % num_shards) for i in range(num_shards)]
     from_left = jax.tree_util.tree_map(
@@ -295,7 +348,7 @@ def _halo_exchange(
 
 
 def _raycast_shard(
-    directory, coords_l, sdf_l, w_l, col_l, T_wc,
+    directory, coords_l, sdf_l, w_l, col_l, cuts, T_wc,
     *, intr: Intrinsics, tsdf_cfg: TsdfConfig, rc_cfg, num_shards: int,
     halo_cap: int, with_color: bool,
 ):
@@ -306,14 +359,14 @@ def _raycast_shard(
     b3 = tsdf_cfg.block_size**3
 
     halo_dir, halo_sdf, halo_w, halo_col = _halo_exchange(
-        directory, coords_l, sdf_l, w_l, col_l, cfg=tsdf_cfg,
+        directory, coords_l, sdf_l, w_l, col_l, cuts, cfg=tsdf_cfg,
         num_shards=num_shards, halo_cap=halo_cap, sid=sid,
     )
 
     # Shard-local sampling directory: my rows at [0, cl), halo rows appended.
     dir_flat = directory.reshape(-1)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
-    owner = _slab_of(idx // (nb * nb), nb, num_shards)
+    owner = _slab_of(idx // (nb * nb), cuts)
     local_slot = dir_flat - sid * cl
     ldir = jnp.where(
         (owner == sid) & (dir_flat >= 0), local_slot,
@@ -379,11 +432,17 @@ def raycast(
             num_shards=num_shards, halo_cap=halo_cap, with_color=with_color,
         ),
         mesh=mesh,
-        in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        in_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(), P(),
+        ),
         out_specs=P(),
         check_vma=False,
     )
-    return fn(bm.directory, bm.block_coords, bm.sdf, bm.weight, bm.color, T_wc)
+    return fn(
+        bm.directory, bm.block_coords, bm.sdf, bm.weight, bm.color,
+        bm.cuts, T_wc,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +452,7 @@ def raycast(
 
 
 def _alloc_from_band(
-    directory, coords_l, n_active_vec, overflow_vec, depth, T_wc, sid,
+    directory, coords_l, n_active_vec, overflow_vec, cuts, depth, T_wc, sid,
     *, intr: Intrinsics, cfg: TsdfConfig, num_shards: int,
     samples: int = 3, stride: int = 4, alloc_cap: int = 4096,
 ):
@@ -447,7 +506,7 @@ def _alloc_from_band(
     dir_flat = directory.reshape(-1)
     have = dir_flat[jnp.maximum(top, 0)] >= 0
     uniq = (top >= 0) & jnp.logical_not(have)
-    owner = _slab_of(top // (nb * nb), nb, num_shards)
+    owner = _slab_of(top // (nb * nb), cuts)
     coords_top = jnp.stack(
         [top // (nb * nb), (top // nb) % nb, top % nb], axis=-1
     ).astype(jnp.int32)
@@ -457,7 +516,10 @@ def _alloc_from_band(
         mine = uniq & (owner == sh)
         order = jnp.cumsum(mine.astype(jnp.int32)) - 1
         lslot = n_active_vec[sh] + order
-        fits = mine & (lslot < cl)
+        # Each shard's LAST group of rows stays unallocated: it is the
+        # Pallas group-kernels' pad target (blocks.RESERVED_SLOTS), so
+        # pad grid steps can never alias a live block.
+        fits = mine & (lslot < cl - blk.RESERVED_SLOTS)
         gslot = sh * cl + lslot
         dir_ids = jnp.where(fits, top, nb3)  # OOB -> dropped
         new_dir = new_dir.at[dir_ids].set(gslot, mode="drop")
@@ -474,31 +536,38 @@ def _alloc_from_band(
 
 def _fused_step_shard(
     directory, coords_l, n_active_vec, overflow_vec, sdf_l, w_l, col_l,
-    depth, color, prior, T_wc,
+    cuts, depth, color, prior, T_wc,
     *, intr: Intrinsics, cfg: TsdfConfig, rc_cfg, num_shards: int,
     k_local: int, alloc_cap: int, with_color: bool, pred_color: bool,
     color_gain: float,
 ):
-    """Per-shard fast-path body: allocate -> integrate slots -> splat.
+    """Per-shard fast-path body: allocate -> integrate own rows -> splat.
 
-    The round-3 single-chip fast paths running inside the shard bodies
-    (VERDICT r3 item 2): one shared shard-local in-frustum slot list
-    feeds both the slot-addressed integrate (Pallas fused_integrate on
-    TPU, jnp golden elsewhere) and the MXU splat-raycast prediction with
-    depth prior + screen-space normals; per-shard raycast work is
-    proportional to the shard's OWN block count (no all-pixels full-range
-    march).  Splatting is per-block independent, so no halo exchange is
-    needed; the per-shard images pmin/psum-composite and the finishing
-    map math runs replicated.
+    The single-chip fast paths running inside the shard bodies, with the
+    SAME group-addressed in-place Pallas kernels the single-chip engine
+    runs (engine/slam._splat_map_update): on TPU the shard's in-frustum
+    payload ROW GROUPS stream through data-dependent BlockSpec index maps
+    (blocks.frustum_groups -> integrate_groups -> splat_depth_groups) —
+    zero XLA row gathers/scatters; elsewhere the slot-list jnp goldens
+    run.  Per-shard work is proportional to the shard's OWN in-frustum
+    block count (pad grid steps skip via the u0 = -1 sentinel).
+
+    Compositing is EXACT: the splat outputs are scatter-add accumulator
+    planes and shards own disjoint row sets, so one psum of the raw
+    planes followed by a single replicated normalization
+    (finish_splat_images) reproduces the single-chip image bit-for-bit
+    in f32 association order — no pmin depth-winner heuristic at seams.
     """
-    from instancefusion_tpu.ops.pallas.raycast import splat_depth, splat_depth_ref
+    from instancefusion_tpu.ops.pallas.raycast import (
+        finish_splat_images, splat_depth_groups, splat_depth_ref,
+    )
 
     sid = jax.lax.axis_index(SHARD_AXIS)
     cl = sdf_l.shape[0]
 
     directory, coords_l, n_active_vec, overflow_vec = _alloc_from_band(
-        directory, coords_l, n_active_vec, overflow_vec, depth, T_wc, sid,
-        intr=intr, cfg=cfg, num_shards=num_shards, alloc_cap=alloc_cap,
+        directory, coords_l, n_active_vec, overflow_vec, cuts, depth, T_wc,
+        sid, intr=intr, cfg=cfg, num_shards=num_shards, alloc_cap=alloc_cap,
     )
 
     local_bm = blk.BlockMap(
@@ -510,40 +579,58 @@ def _fused_step_shard(
         weight=w_l,
         color=col_l,
     )
-    inview = blk.frustum_mask(
-        local_bm, T_wc, intr, cfg, rc_cfg.near, rc_cfg.far
-    )
-    lslots, lvalid = blk.compact_mask_indices(inview, k_local)
-    local_bm = blk.integrate_slots(
-        local_bm, lslots, lvalid, depth,
-        color if with_color else None, T_wc, intr, cfg,
-        color_gain=color_gain,
-    )
+    want_color = pred_color and bool(col_l.shape[1])
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        # Group-addressed kernels over my own rows (in-place payload
+        # update; camera may dwell entirely in one slab, so the per-shard
+        # group capacity is not divided by the shard count).
+        kg = min(cfg.group_capacity, cl // 8)
+        gids, row_valid = blk.frustum_groups(
+            local_bm, T_wc, intr, cfg, rc_cfg.near, rc_cfg.far, kg
+        )
+        local_bm = blk.integrate_groups(
+            local_bm, gids, row_valid, depth,
+            color if with_color else None, T_wc, intr, cfg,
+            color_gain=color_gain,
+        )
+        raw = splat_depth_groups(
+            gids, row_valid, coords_l,
+            local_bm.sdf, local_bm.weight, local_bm.color,
+            T_wc, intr, cfg, with_color=want_color,
+            rmax=rc_cfg.splat_rmax, raw=True,
+        )
+    else:
+        inview = blk.frustum_mask(
+            local_bm, T_wc, intr, cfg, rc_cfg.near, rc_cfg.far
+        )
+        lslots, lvalid = blk.compact_mask_indices(inview, k_local)
+        local_bm = blk.integrate_slots(
+            local_bm, lslots, lvalid, depth,
+            color if with_color else None, T_wc, intr, cfg,
+            color_gain=color_gain,
+        )
+        from instancefusion_tpu.ops.pallas.raycast import splat_depth
 
-    on_tpu = jax.default_backend() == "tpu"
-    impl = splat_depth if on_tpu else splat_depth_ref
-    imgs = impl(
-        lslots, lvalid, coords_l,
-        local_bm.sdf, local_bm.weight, local_bm.color,
-        T_wc, intr, cfg,
-        with_color=pred_color and bool(col_l.shape[1]),
-        depth_prior=prior,
-        rmax=rc_cfg.splat_rmax,
-    )
+        impl = (
+            splat_depth
+            if jax.default_backend() == "tpu"
+            else splat_depth_ref
+        )
+        raw = impl(
+            lslots, lvalid, coords_l,
+            local_bm.sdf, local_bm.weight, local_bm.color,
+            T_wc, intr, cfg, with_color=want_color,
+            rmax=rc_cfg.splat_rmax, raw=True,
+        )
 
-    # Composite the raw splat images FIRST (pmin depth winner, masked-psum
-    # blend), then finish vertex/normal maps replicated — image-space
-    # normals need the full composited depth, not one shard's slice.
-    inf = jnp.float32(3.4e38)
-    my_depth = jnp.where(imgs.valid, imgs.depth, inf)
-    best = jax.lax.pmin(my_depth, SHARD_AXIS)
-    win = imgs.valid & (my_depth <= best)
-    nwin = jnp.maximum(jax.lax.psum(win.astype(jnp.float32), SHARD_AXIS), 1.0)
-    depth_c = jax.lax.psum(jnp.where(win, imgs.depth, 0.0), SHARD_AXIS) / nwin
-    color_c = jax.lax.psum(
-        jnp.where(win[..., None], imgs.color, 0.0), SHARD_AXIS
-    ) / nwin[..., None]
-    valid_c = jax.lax.psum(win.astype(jnp.int32), SHARD_AXIS) > 0
+    # Exact composite: psum the disjoint shards' raw accumulator planes,
+    # normalize once; then finish vertex/normal maps replicated —
+    # image-space normals need the full composited depth.
+    raw_sum = tuple(jax.lax.psum(o, SHARD_AXIS) for o in raw)
+    imgs = finish_splat_images(
+        raw_sum, intr, cfg, with_color=want_color, depth_prior=prior
+    )
+    depth_c, valid_c, color_c = imgs.depth, imgs.valid, imgs.color
 
     from instancefusion_tpu.geometry.camera import ray_directions
     from instancefusion_tpu.ops.raycast import RaycastMaps
@@ -591,8 +678,9 @@ def fused_step_map(
     """Sharded fast-path map update: (allocate + integrate + splat predict).
 
     One shard_map call per frame covering all map work — the sharded
-    equivalent of engine/slam.step's `use_splat` fast path.  Returns
-    (ShardedBlockMap, RaycastMaps).
+    equivalent of engine/slam.step's `use_splat` fast path, running the
+    SAME group-addressed in-place Pallas kernels per shard on TPU.
+    Returns (ShardedBlockMap, RaycastMaps).
     """
     from instancefusion_tpu.ops.raycast import RaycastMaps
 
@@ -614,7 +702,7 @@ def fused_step_map(
         in_specs=(
             P(), P(SHARD_AXIS), P(), P(),
             P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-            P(), P(), P(), P(),
+            P(), P(), P(), P(), P(),
         ),
         out_specs=(
             P(), P(SHARD_AXIS), P(), P(),
@@ -626,9 +714,9 @@ def fused_step_map(
     (directory, coords, n_active, overflow, sdf, w, col,
      vert, norm, dep, colimg, valid) = fn(
         bm.directory, bm.block_coords, bm.n_active, bm.overflow,
-        bm.sdf, bm.weight, bm.color, depth, color_in, prior, T_wc,
+        bm.sdf, bm.weight, bm.color, bm.cuts, depth, color_in, prior, T_wc,
     )
-    new_bm = ShardedBlockMap(
+    new_bm = bm._replace(
         directory=directory, block_coords=coords, n_active=n_active,
         overflow=overflow, sdf=sdf, weight=w, color=col,
     )
@@ -652,7 +740,7 @@ def allocate_votes(cfg: TsdfConfig, num_shards: int):
 
 
 def _fuse_labels_shard(
-    directory, coords_l, lab_l, cnt_l, gid_image, depth, T_wc,
+    directory, coords_l, lab_l, cnt_l, cuts, gid_image, depth, T_wc,
     *, intr: Intrinsics, cfg: TsdfConfig, num_shards: int, max_touched: int,
 ):
     """Per-shard Boyer-Moore label voting into my touched rows (zero comm).
@@ -670,7 +758,7 @@ def _fuse_labels_shard(
     touched = blk.touched_blocks_mask(depth, T_wc, intr, cfg)
     dir_flat = directory.reshape(-1)
     idx = jax.lax.broadcasted_iota(jnp.int32, (nb * nb * nb, 1), 0)[:, 0]
-    mine = _slab_of(idx // (nb * nb), nb, num_shards) == sid
+    mine = _slab_of(idx // (nb * nb), cuts) == sid
     touched_mine = touched & mine & (dir_flat >= 0)
     k = min(max_touched, nb * nb * nb)
     tidx, tvalid = blk.compact_mask_indices(touched_mine, k)
@@ -739,12 +827,13 @@ def fuse_labels(
         mesh=mesh,
         in_specs=(
             P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P(),
+            P(),
         ),
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
         check_vma=False,
     )
     lab, cnt = fn(
-        bm.directory, bm.block_coords, votes.label, votes.count,
+        bm.directory, bm.block_coords, votes.label, votes.count, bm.cuts,
         gid_image, depth, T_wc,
     )
     return labels.LabelVotes(label=lab, count=cnt)
@@ -804,18 +893,21 @@ def sample_labels(
 
 def _reshard_shard(
     directory, coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l,
-    *, cfg: TsdfConfig, num_shards: int, migrate_cap: int,
+    lab_l, cnt_l, cuts,
+    *, cfg: TsdfConfig, num_shards: int, migrate_cap: int, with_votes: bool,
 ):
     """Per-shard body: migrate misplaced rows to their slab owner.
 
-    Rows can land on the wrong shard after host-side map surgery — a
-    checkpoint written with a different shard count, a merged map, or
-    block re-anchoring after a pose-graph correction moves a block's
-    coordinate into another slab.  Each shard packs up to `migrate_cap`
-    rows per destination, one `all_to_all` swaps the buckets over ICI,
-    and receivers append the rows with the usual prefix-sum allocation.
-    The directory is rebuilt from scratch (scatter + pmax merge) so it
-    stays consistent with the new row placement.
+    Rows land on the wrong shard when the slab partition moves — the
+    occupancy-rebalance policy writes new `cuts` (balanced_cuts) and this
+    body drains the rows to their new owners via one `all_to_all` — or
+    after host-side map surgery (a checkpoint written with a different
+    shard count, a merged map).  Each shard packs up to `migrate_cap`
+    rows per destination; receivers append the rows with the usual
+    prefix-sum allocation.  Per-voxel instance votes ride along with
+    their payload rows (they share the slot space).  The directory is
+    rebuilt from scratch (scatter + pmax merge) so it stays consistent
+    with the new row placement.
     """
     sid = jax.lax.axis_index(SHARD_AXIS)
     nb = blk.num_blocks_per_axis(cfg)
@@ -825,22 +917,25 @@ def _reshard_shard(
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cl, 1), 0)[:, 0]
     allocated = (slot_ids < n_active) & (coords_l[:, 0] >= 0)
-    owner = _slab_of(coords_l[:, 0], nb, num_shards)
+    owner = _slab_of(coords_l[:, 0], cuts)
     stay = allocated & (owner == sid)
 
     # --- pack per-destination send buckets [S*q, ...]
-    send_coords, send_sdf, send_w, send_col, send_valid = [], [], [], [], []
+    send = {k: [] for k in ("coords", "sdf", "w", "col", "lab", "cnt", "valid")}
     sent = jnp.zeros((cl,), bool)
     for d in range(num_shards):
         mask = allocated & (owner == d) & (d != sid)
         idx, ok = blk.compact_mask_indices(mask, q)
         idx_c = jnp.where(ok, idx, 0)
-        send_coords.append(jnp.where(ok[:, None], coords_l[idx_c], -1))
-        send_sdf.append(sdf_l[idx_c])
-        send_w.append(jnp.where(ok[:, None], w_l[idx_c], 0.0))
+        send["coords"].append(jnp.where(ok[:, None], coords_l[idx_c], -1))
+        send["sdf"].append(sdf_l[idx_c])
+        send["w"].append(jnp.where(ok[:, None], w_l[idx_c], 0.0))
         if col_l.shape[1]:
-            send_col.append(jnp.where(ok[:, None], col_l[idx_c], 0.0))
-        send_valid.append(ok)
+            send["col"].append(jnp.where(ok[:, None], col_l[idx_c], 0.0))
+        if with_votes:
+            send["lab"].append(jnp.where(ok[:, None], lab_l[idx_c], -1))
+            send["cnt"].append(jnp.where(ok[:, None], cnt_l[idx_c], 0.0))
+        send["valid"].append(ok)
         sent = sent.at[jnp.where(ok, idx, cl)].set(True, mode="drop")
 
     def a2a(parts):
@@ -849,16 +944,19 @@ def _reshard_shard(
             x, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True
         )
 
-    rc_coords = a2a(send_coords)
-    rc_sdf = a2a(send_sdf)
-    rc_w = a2a(send_w)
-    rc_valid = a2a([v for v in send_valid])
-    rc_col = a2a(send_col) if col_l.shape[1] else None
+    rc_coords = a2a(send["coords"])
+    rc_sdf = a2a(send["sdf"])
+    rc_w = a2a(send["w"])
+    rc_valid = a2a(send["valid"])
+    rc_col = a2a(send["col"]) if col_l.shape[1] else None
+    rc_lab = a2a(send["lab"]) if with_votes else None
+    rc_cnt = a2a(send["cnt"]) if with_votes else None
 
     # Rows that could not be packed this round (beyond migrate_cap) stay
     # put and are counted; call reshard again to drain them.
     leftover = allocated & (owner != sid) & jnp.logical_not(sent)
     n_left = jnp.sum(leftover.astype(jnp.int32))
+    n_sent = jnp.sum((allocated & (owner != sid) & sent).astype(jnp.int32))
 
     # --- compact keepers (stable partition, as blocks.clean)
     keep = stay | leftover
@@ -875,17 +973,23 @@ def _reshard_shard(
     sdf_n = take(sdf_l, blk.UNOBSERVED)
     w_n = take(w_l, 0.0)
     col_n = take(col_l, 0.0) if col_l.shape[1] else col_l
+    lab_n = take(lab_l, -1) if with_votes else lab_l
+    cnt_n = take(cnt_l, 0.0) if with_votes else cnt_l
 
-    # --- append received rows (prefix-sum slots after the keepers)
+    # --- append received rows (prefix-sum slots after the keepers;
+    # the last group stays reserved for the Pallas group-kernel pad)
     order = jnp.cumsum(rc_valid.astype(jnp.int32)) - 1
     slot = n_keep + order
-    fits = rc_valid & (slot < cl)
+    fits = rc_valid & (slot < cl - blk.RESERVED_SLOTS)
     out = jnp.where(fits, slot, cl)
     coords_n = coords_n.at[out].set(rc_coords, mode="drop")
     sdf_n = sdf_n.at[out].set(rc_sdf, mode="drop")
     w_n = w_n.at[out].set(rc_w, mode="drop")
     if col_l.shape[1]:
         col_n = col_n.at[out].set(rc_col, mode="drop")
+    if with_votes:
+        lab_n = lab_n.at[out].set(rc_lab, mode="drop")
+        cnt_n = cnt_n.at[out].set(rc_cnt, mode="drop")
     n_new = jnp.sum(fits.astype(jnp.int32))
     n_drop = jnp.sum(rc_valid.astype(jnp.int32)) - n_new
     n_active_n = n_keep + n_new
@@ -903,7 +1007,9 @@ def _reshard_shard(
     return (
         dir_new.reshape(directory.shape), coords_n,
         n_active_l * 0 + n_active_n, overflow_n, sdf_n, w_n, col_n,
+        lab_n, cnt_n,
         jnp.full((n_active_l.shape[0],), n_left, jnp.int32),
+        jnp.full((n_active_l.shape[0],), n_sent, jnp.int32),
     )
 
 
@@ -911,39 +1017,426 @@ def reshard(
     bm: ShardedBlockMap,
     mesh: Mesh,
     cfg: TsdfConfig,
+    votes=None,
     migrate_cap: int = 256,
-) -> tuple[ShardedBlockMap, jnp.ndarray]:
+):
     """Migrate every payload row to its slab owner (one all_to_all round).
 
-    Returns (bm_new, leftover i32[S]) where leftover counts rows still
-    misplaced because a shard had more than `migrate_cap` rows bound for
-    one destination — call again until `leftover.sum() == 0`.
+    Owners come from `bm.cuts` — write rebalanced cuts (balanced_cuts)
+    into the map first, then call this to drain the rows to their new
+    shards.  When `votes` is given, its label/count planes migrate with
+    their payload rows.
+
+    Returns (bm_new, votes_new, migrated i32[S], leftover i32[S]):
+    `migrated` counts rows each shard sent this round; `leftover` counts
+    rows still misplaced because a shard had more than `migrate_cap`
+    rows bound for one destination — call again until
+    `leftover.sum() == 0`.
     """
+    from instancefusion_tpu.ops import labels
+
     num_shards = mesh.shape[SHARD_AXIS]
+    with_votes = votes is not None
+    c = bm.sdf.shape[0]
+    lab = votes.label if with_votes else jnp.zeros((c, 1), jnp.int32)
+    cnt = votes.count if with_votes else jnp.zeros((c, 1), jnp.float32)
     fn = shard_map(
         functools.partial(
             _reshard_shard, cfg=cfg, num_shards=num_shards,
-            migrate_cap=migrate_cap,
+            migrate_cap=migrate_cap, with_votes=with_votes,
         ),
         mesh=mesh,
         in_specs=(
             P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
             P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(),
         ),
         out_specs=(
             P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
             P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
         ),
         check_vma=False,
     )
-    directory, coords, n_active, overflow, sdf, w, col, leftover = fn(
+    (directory, coords, n_active, overflow, sdf, w, col,
+     lab_n, cnt_n, leftover, migrated) = fn(
         bm.directory, bm.block_coords, bm.n_active, bm.overflow,
-        bm.sdf, bm.weight, bm.color,
+        bm.sdf, bm.weight, bm.color, lab, cnt, bm.cuts,
     )
-    return ShardedBlockMap(
+    bm_new = bm._replace(
         directory=directory, block_coords=coords, n_active=n_active,
         overflow=overflow, sdf=sdf, weight=w, color=col,
-    ), leftover
+    )
+    votes_new = (
+        labels.LabelVotes(label=lab_n, count=cnt_n) if with_votes else None
+    )
+    return bm_new, votes_new, migrated, leftover
+
+
+# ---------------------------------------------------------------------------
+# Sharded map hygiene + streaming (clean / evict / admit)
+# ---------------------------------------------------------------------------
+
+
+def _rebuild_directory_shard(coords_n, n_active_n, cl, nb, sid):
+    """Replicated directory from per-shard rows: scatter mine, pmax merge."""
+    live = jax.lax.broadcasted_iota(jnp.int32, (cl, 1), 0)[:, 0] < n_active_n
+    live = live & (coords_n[:, 0] >= 0)
+    flat = (coords_n[:, 0] * nb + coords_n[:, 1]) * nb + coords_n[:, 2]
+    gslot = sid * cl + jax.lax.broadcasted_iota(jnp.int32, (cl, 1), 0)[:, 0]
+    prop = jnp.full((nb * nb * nb,), -1, jnp.int32)
+    prop = prop.at[jnp.where(live, flat, nb * nb * nb)].set(gslot, mode="drop")
+    return jax.lax.pmax(prop, SHARD_AXIS)
+
+
+def _take_compact(perm, n_keep):
+    """Stable-partition compactor: arr -> arr[perm] with tail filled."""
+
+    def take(arr, fill):
+        out = arr[perm]
+        ki = jax.lax.broadcasted_iota(jnp.int32, (out.shape[0], 1), 0)[:, 0] < n_keep
+        shape = (out.shape[0],) + (1,) * (out.ndim - 1)
+        return jnp.where(ki.reshape(shape), out, fill)
+
+    return take
+
+
+def _clean_shard(
+    directory, coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l,
+    lab_l, cnt_l,
+    *, cfg: TsdfConfig, min_weight: float, with_votes: bool,
+):
+    """Per-shard `blocks.clean`: cull + compact my rows, rebuild directory.
+
+    Row culling and compaction are shard-local by construction (rows
+    never reference other shards); the only collective is the directory
+    pmax merge — the same trick as `_reshard_shard`.
+    """
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    nb = blk.num_blocks_per_axis(cfg)
+    cl = sdf_l.shape[0]
+    n_active = n_active_l[0]
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cl, 1), 0)[:, 0]
+    allocated = (slot_ids < n_active) & (coords_l[:, 0] >= 0)
+    best_w = jnp.max(w_l, axis=1)
+    observed = jnp.where(w_l > 0.0, sdf_l, blk.UNOBSERVED)
+    min_sdf = jnp.min(observed, axis=1)
+    empty = min_sdf > 0.98
+    live = allocated & (best_w >= min_weight) & jnp.logical_not(empty)
+    n_live = jnp.sum(live.astype(jnp.int32))
+
+    perm = jnp.argsort(jnp.logical_not(live), stable=True)
+    take = _take_compact(perm, n_live)
+    coords_n = take(coords_l, -1)
+    sdf_n = take(sdf_l, blk.UNOBSERVED)
+    w_n = take(w_l, 0.0)
+    col_n = take(col_l, 0.0) if col_l.shape[1] else col_l
+    lab_n = take(lab_l, -1) if with_votes else lab_l
+    cnt_n = take(cnt_l, 0.0) if with_votes else cnt_l
+
+    dir_new = _rebuild_directory_shard(coords_n, n_live, cl, nb, sid)
+    return (
+        dir_new.reshape(directory.shape), coords_n,
+        n_active_l * 0 + n_live, overflow_l,
+        sdf_n, w_n, col_n, lab_n, cnt_n,
+    )
+
+
+def clean(
+    bm: ShardedBlockMap,
+    mesh: Mesh,
+    cfg: TsdfConfig,
+    min_weight: float = 1.0,
+    votes=None,
+):
+    """Sharded `blocks.clean`: cull low-confidence/empty blocks per shard.
+
+    Returns (bm_new, votes_new) with instance-vote planes compacted
+    consistently when given (they share the slot space).
+    """
+    from instancefusion_tpu.ops import labels
+
+    num_shards = mesh.shape[SHARD_AXIS]
+    with_votes = votes is not None
+    c = bm.sdf.shape[0]
+    lab = votes.label if with_votes else jnp.zeros((c, 1), jnp.int32)
+    cnt = votes.count if with_votes else jnp.zeros((c, 1), jnp.float32)
+    fn = shard_map(
+        functools.partial(
+            _clean_shard, cfg=cfg, min_weight=min_weight,
+            with_votes=with_votes,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS),
+        ),
+        out_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS),
+        ),
+        check_vma=False,
+    )
+    (directory, coords, n_active, overflow, sdf, w, col, lab_n, cnt_n) = fn(
+        bm.directory, bm.block_coords, bm.n_active, bm.overflow,
+        bm.sdf, bm.weight, bm.color, lab, cnt,
+    )
+    bm_new = bm._replace(
+        directory=directory, block_coords=coords, n_active=n_active,
+        overflow=overflow, sdf=sdf, weight=w, color=col,
+    )
+    votes_new = (
+        labels.LabelVotes(label=lab_n, count=cnt_n) if with_votes else None
+    )
+    return bm_new, votes_new
+
+
+def _partition_window_shard(
+    directory, coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l,
+    lab_l, cnt_l, center_w,
+    *, cfg: TsdfConfig, radius: float, evict_cap: int, with_votes: bool,
+):
+    """Per-shard `blocks.partition_window`: evict my cold rows.
+
+    Each shard compacts up to `evict_cap` of ITS OWN cold rows into an
+    eviction buffer (sharded output — the host sees [S*evict_cap] rows),
+    compacts survivors, and the directory pmax-rebuilds.  Bounded
+    device->host traffic per shard, exactly like the single-chip tick.
+    """
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    nb = blk.num_blocks_per_axis(cfg)
+    cl = sdf_l.shape[0]
+    n_active = n_active_l[0]
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cl, 1), 0)[:, 0]
+    allocated = (slot_ids < n_active) & (coords_l[:, 0] >= 0)
+    bsz = cfg.block_size * cfg.voxel_size
+    origin = jnp.asarray(cfg.origin, jnp.float32)
+    centers = origin + (coords_l.astype(jnp.float32) + 0.5) * bsz
+    dist = jnp.linalg.norm(centers - center_w[None, :], axis=-1)
+    cold = allocated & (dist > radius)
+
+    eidx, evalid = blk.compact_mask_indices(cold, evict_cap)
+    eidx_c = jnp.where(evalid, eidx, 0)
+    ev_coords = jnp.where(evalid[:, None], coords_l[eidx_c], -1)
+    ev_sdf = sdf_l[eidx_c]
+    ev_w = jnp.where(evalid[:, None], w_l[eidx_c], 0.0)
+    ev_col = (
+        jnp.where(evalid[:, None], col_l[eidx_c], 0.0)
+        if col_l.shape[1] else col_l[:evict_cap]
+    )
+    ev_lab = jnp.where(evalid[:, None], lab_l[eidx_c], -1) if with_votes else lab_l[:evict_cap]
+    ev_cnt = jnp.where(evalid[:, None], cnt_l[eidx_c], 0.0) if with_votes else cnt_l[:evict_cap]
+
+    evict_sel = jnp.zeros((cl,), bool).at[
+        jnp.where(evalid, eidx, cl)
+    ].set(True, mode="drop")
+    live = allocated & jnp.logical_not(evict_sel)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    perm = jnp.argsort(jnp.logical_not(live), stable=True)
+    take = _take_compact(perm, n_live)
+    coords_n = take(coords_l, -1)
+    sdf_n = take(sdf_l, blk.UNOBSERVED)
+    w_n = take(w_l, 0.0)
+    col_n = take(col_l, 0.0) if col_l.shape[1] else col_l
+    lab_n = take(lab_l, -1) if with_votes else lab_l
+    cnt_n = take(cnt_l, 0.0) if with_votes else cnt_l
+
+    dir_new = _rebuild_directory_shard(coords_n, n_live, cl, nb, sid)
+    return (
+        dir_new.reshape(directory.shape), coords_n,
+        n_active_l * 0 + n_live, overflow_l,
+        sdf_n, w_n, col_n, lab_n, cnt_n,
+        ev_coords, ev_sdf, ev_w, ev_col, ev_lab, ev_cnt, evalid,
+    )
+
+
+def partition_window(
+    bm: ShardedBlockMap,
+    mesh: Mesh,
+    cfg: TsdfConfig,
+    center_w: jnp.ndarray,
+    radius: float,
+    evict_cap: int,
+    votes=None,
+):
+    """Sharded `blocks.partition_window`: evict cold rows on every shard.
+
+    Returns (bm_new, votes_new, evicted) where evicted holds
+    [S*evict_cap] rows (coords/sdf/weight[/color][/label/count]/valid)
+    the host pulls into the per-run store.
+    """
+    from instancefusion_tpu.ops import labels
+
+    num_shards = mesh.shape[SHARD_AXIS]
+    with_votes = votes is not None
+    c = bm.sdf.shape[0]
+    evict_cap = min(evict_cap, c // num_shards)
+    lab = votes.label if with_votes else jnp.zeros((c, 1), jnp.int32)
+    cnt = votes.count if with_votes else jnp.zeros((c, 1), jnp.float32)
+    fn = shard_map(
+        functools.partial(
+            _partition_window_shard, cfg=cfg, radius=radius,
+            evict_cap=evict_cap, with_votes=with_votes,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(),
+        ),
+        out_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+        ),
+        check_vma=False,
+    )
+    (directory, coords, n_active, overflow, sdf, w, col, lab_n, cnt_n,
+     ev_coords, ev_sdf, ev_w, ev_col, ev_lab, ev_cnt, ev_valid) = fn(
+        bm.directory, bm.block_coords, bm.n_active, bm.overflow,
+        bm.sdf, bm.weight, bm.color, lab, cnt, center_w,
+    )
+    bm_new = bm._replace(
+        directory=directory, block_coords=coords, n_active=n_active,
+        overflow=overflow, sdf=sdf, weight=w, color=col,
+    )
+    votes_new = (
+        labels.LabelVotes(label=lab_n, count=cnt_n) if with_votes else None
+    )
+    evicted = {
+        "coords": ev_coords, "sdf": ev_sdf, "weight": ev_w,
+        "valid": ev_valid,
+    }
+    if bm.color.shape[1]:
+        evicted["color"] = ev_col
+    if with_votes:
+        evicted["label"] = ev_lab
+        evicted["count"] = ev_cnt
+    return bm_new, votes_new, evicted
+
+
+def _admit_shard(
+    directory, coords_l, n_active_l, overflow_l, sdf_l, w_l, col_l,
+    lab_l, cnt_l, cuts,
+    in_coords, in_sdf, in_w, in_col, in_lab, in_cnt, in_valid,
+    *, cfg: TsdfConfig, with_votes: bool,
+):
+    """Per-shard `blocks.admit_rows`: append the rows I own.
+
+    The admit batch is replicated; each shard prefix-sum-appends only the
+    rows whose block x-coord falls in its slab (cuts ownership), skipping
+    blocks already in the directory.  fits masks psum to the replicated
+    admitted mask (each row has exactly one owner).
+    """
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    nb = blk.num_blocks_per_axis(cfg)
+    cl = sdf_l.shape[0]
+    n_active = n_active_l[0]
+
+    inb = in_valid & jnp.all((in_coords >= 0) & (in_coords < nb), axis=-1)
+    flat = (in_coords[:, 0] * nb + in_coords[:, 1]) * nb + in_coords[:, 2]
+    flat_c = jnp.where(inb, flat, 0)
+    already = directory.reshape(-1)[flat_c] >= 0
+    mine = _slab_of(in_coords[:, 0], cuts) == sid
+    need = inb & jnp.logical_not(already) & mine
+    order = jnp.cumsum(need.astype(jnp.int32)) - 1
+    new_slot = n_active + order
+    fits = need & (new_slot < cl - blk.RESERVED_SLOTS)
+    n_new = jnp.sum(fits.astype(jnp.int32))
+    n_drop = jnp.sum(need.astype(jnp.int32)) - n_new
+
+    dir_ids = jnp.where(fits, flat, nb * nb * nb)
+    gslot = sid * cl + new_slot
+    dir_prop = jnp.full((nb * nb * nb,), -1, jnp.int32)
+    dir_prop = dir_prop.at[dir_ids].set(gslot, mode="drop")
+    merged = jax.lax.pmax(dir_prop, SHARD_AXIS)
+    dir_flat = directory.reshape(-1)
+    dir_new = jnp.where((dir_flat < 0) & (merged >= 0), merged, dir_flat)
+
+    out = jnp.where(fits, new_slot, cl)
+    coords_n = coords_l.at[out].set(in_coords, mode="drop")
+    sdf_n = sdf_l.at[out].set(in_sdf, mode="drop")
+    w_n = w_l.at[out].set(in_w, mode="drop")
+    col_n = (
+        col_l.at[out].set(in_col, mode="drop") if col_l.shape[1] else col_l
+    )
+    lab_n = lab_l.at[out].set(in_lab, mode="drop") if with_votes else lab_l
+    cnt_n = cnt_l.at[out].set(in_cnt, mode="drop") if with_votes else cnt_l
+    admitted = jax.lax.psum(fits.astype(jnp.int32), SHARD_AXIS) > 0
+    return (
+        dir_new.reshape(directory.shape), coords_n,
+        n_active_l + n_new, overflow_l + n_drop,
+        sdf_n, w_n, col_n, lab_n, cnt_n, admitted,
+    )
+
+
+def admit_rows(
+    bm: ShardedBlockMap,
+    mesh: Mesh,
+    cfg: TsdfConfig,
+    coords: jnp.ndarray,
+    sdf: jnp.ndarray,
+    weight: jnp.ndarray,
+    color: jnp.ndarray | None,
+    valid: jnp.ndarray,
+    votes=None,
+    label: jnp.ndarray | None = None,
+    count: jnp.ndarray | None = None,
+):
+    """Sharded `blocks.admit_rows`: streamed-out rows return to their owner.
+
+    Returns (bm_new, votes_new, admitted bool[E] replicated).
+    """
+    from instancefusion_tpu.ops import labels
+
+    num_shards = mesh.shape[SHARD_AXIS]
+    with_votes = votes is not None and label is not None
+    c = bm.sdf.shape[0]
+    e = coords.shape[0]
+    lab = votes.label if with_votes else jnp.zeros((c, 1), jnp.int32)
+    cnt = votes.count if with_votes else jnp.zeros((c, 1), jnp.float32)
+    in_col = (
+        color if (color is not None and bm.color.shape[1])
+        else jnp.zeros((e, 1), jnp.float32)
+    )
+    in_lab = label if with_votes else jnp.zeros((e, 1), jnp.int32)
+    in_cnt = count if with_votes else jnp.zeros((e, 1), jnp.float32)
+    fn = shard_map(
+        functools.partial(_admit_shard, cfg=cfg, with_votes=with_votes),
+        mesh=mesh,
+        in_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(),
+            P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(
+            P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS), P(SHARD_AXIS), P(),
+        ),
+        check_vma=False,
+    )
+    (directory, coords_n, n_active, overflow, sdf_n, w_n, col_n,
+     lab_n, cnt_n, admitted) = fn(
+        bm.directory, bm.block_coords, bm.n_active, bm.overflow,
+        bm.sdf, bm.weight, bm.color, lab, cnt, bm.cuts,
+        coords, sdf, weight, in_col, in_lab, in_cnt, valid,
+    )
+    bm_new = bm._replace(
+        directory=directory, block_coords=coords_n, n_active=n_active,
+        overflow=overflow, sdf=sdf_n, weight=w_n, color=col_n,
+    )
+    votes_new = (
+        labels.LabelVotes(label=lab_n, count=cnt_n) if with_votes else votes
+    )
+    return bm_new, votes_new, admitted
 
 
 # ---------------------------------------------------------------------------

@@ -316,3 +316,57 @@ def test_instance_merge_on_double_overlap():
     votes2 = lab.relabel_votes(votes, src, dst, ok)
     assert int((votes2.label == gone).sum()) == 0
     assert int((votes2.label == survivor).sum()) == 16  # counts preserved
+
+
+def test_mask_refine_normal_edges_stop_crease_bleed():
+    """SURVEY §4.5 mask refinement vs depth AND normal edges: at a
+    concave crease (wall meeting floor) there is NO depth jump, so the
+    depth-only refine lets a bled mask vote across the seam; the normal
+    term drops the crease band and stops it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instancefusion_tpu.ops import labels
+    from tests.helpers import SMALL_INTR
+
+    intr = SMALL_INTR
+    h, w = intr.height, intr.width
+    vc = h - 20  # crease row, well below the optical center so the floor
+    # is viewed steeply enough that its per-row depth step stays under
+    # the depth-edge threshold (near the horizon a floor is edge-on and
+    # depth itself jumps, which would mask the effect under test).
+    v = np.arange(h, dtype=np.float32)
+    yt = (v - intr.cy) / intr.fy  # unit-z ray y-slope per row
+
+    # Wall: frontoparallel plane z=1 above the crease.  Floor: plane
+    # y = const through the wall base — depth z = y_w / yt below the
+    # crease, continuous at vc by construction.
+    z_wall = 1.0
+    y_w = z_wall * yt[vc]
+    depth_rows = np.where(
+        v < vc, z_wall, y_w / np.maximum(yt, y_w / 8.0)
+    ).astype(np.float32)
+    depth = jnp.asarray(np.broadcast_to(depth_rows[:, None], (h, w)).copy())
+
+    # Depth truly continuous at the seam (no silhouette edge to catch).
+    assert abs(float(depth[vc, 0] - depth[vc - 1, 0])) < 0.02
+
+    # The network mask covers the wall and bleeds 2 rows onto the floor.
+    mask = np.full((h, w), -1, np.int32)
+    mask[: vc + 2, :] = 3
+    mask = jnp.asarray(mask)
+
+    # Depth-only refine: the bleed survives (no depth discontinuity).
+    out_depth_only = np.asarray(labels.refine_mask_edges(mask, depth))
+    assert (out_depth_only[vc : vc + 2, 4:-4] == 3).any()
+
+    # With the normal term the crease band (and with it the bleed rows)
+    # is dropped...
+    out = np.asarray(
+        labels.refine_mask_edges(mask, depth, intr=intr, normal_dot=0.6)
+    )
+    assert (out[vc : vc + 2, 4:-4] == -1).all(), "bleed crossed the seam"
+    # ...while the wall interior keeps its label and the floor stays
+    # unlabeled.
+    assert (out[: vc - 4, 4:-4] == 3).mean() > 0.95
+    assert (out[vc + 4 :, 4:-4] == -1).all()

@@ -194,9 +194,11 @@ def test_reshard_migrates_rows_to_slab_owners(mesh):
         sdf=single.sdf[: CFG.table_capacity],
         weight=single.weight[: CFG.table_capacity],
         color=single.color[: CFG.table_capacity],
+        cuts=shard.uniform_cuts(CFG, NSHARDS),
     )
-    bm, leftover = shard.reshard(sh0, mesh, CFG, migrate_cap=cl)
+    bm, _, migrated, leftover = shard.reshard(sh0, mesh, CFG, migrate_cap=cl)
     assert int(leftover.sum()) == 0
+    assert int(migrated.sum()) > 0
     assert int(bm.n_active.sum()) == n0
     assert int(bm.overflow.sum()) == 0
 
@@ -233,10 +235,10 @@ def test_reshard_migrates_rows_to_slab_owners(mesh):
     )
 
     # Small migrate_cap drains over repeated rounds.
-    bm2, left = shard.reshard(sh0, mesh, CFG, migrate_cap=32)
+    bm2, _, _, left = shard.reshard(sh0, mesh, CFG, migrate_cap=32)
     rounds = 1
     while int(left.sum()) > 0:
-        bm2, left = shard.reshard(bm2, mesh, CFG, migrate_cap=32)
+        bm2, _, _, left = shard.reshard(bm2, mesh, CFG, migrate_cap=32)
         rounds += 1
         assert rounds < 32
     assert int(bm2.n_active.sum()) == n0
@@ -396,3 +398,139 @@ def test_sharded_splat_fast_path_matches_single(mesh):
     # Payload rows spread over shards (not all on one).
     counts = np.asarray(s2.volume.n_active)
     assert (counts > 0).sum() >= 2, counts
+
+
+def test_sharded_clean_matches_single(mesh):
+    """Sharded hygiene (SURVEY §6 / VERDICT r4 Missing #2): per-shard row
+    culling + compaction matches blocks.clean on the same map — same
+    surviving block set, same directory-addressed contents."""
+    frames = _frames(2)
+    single = blocks.allocate(CFG)
+    sh = shard.allocate(CFG, NSHARDS)
+    for f in frames:
+        single = blocks.integrate(single, f.depth, f.color, f.T_wc, SMALL_INTR, CFG)
+        sh = shard.integrate(sh, f.depth, f.color, f.T_wc, mesh, SMALL_INTR, CFG)
+
+    # min_weight=1.5 culls the single-observation fringe rows (frame 2
+    # only partially overlaps frame 1), exercising real culling.
+    s_out, _ = blocks.clean(single, CFG, min_weight=1.5)
+    h_out, _ = shard.clean(sh, mesh, CFG, min_weight=1.5)
+    assert int(s_out.n_active) < int(single.n_active)  # something culled
+    np.testing.assert_array_equal(
+        np.asarray(s_out.directory) >= 0, np.asarray(h_out.directory) >= 0
+    )
+    assert int(h_out.n_active.sum()) == int(s_out.n_active)
+
+    sdir = np.asarray(s_out.directory).reshape(-1)
+    hdir = np.asarray(h_out.directory).reshape(-1)
+    sel = np.nonzero(sdir >= 0)[0]
+    np.testing.assert_allclose(
+        np.asarray(h_out.sdf)[hdir[sel]], np.asarray(s_out.sdf)[sdir[sel]],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_out.weight)[hdir[sel]], np.asarray(s_out.weight)[sdir[sel]],
+        atol=1e-6,
+    )
+
+
+def test_sharded_streaming_evict_admit_roundtrip(mesh):
+    """Sharded active-window streaming: every shard evicts its own cold
+    rows to the host store; admission re-appends each row on its slab
+    owner, bit-exact."""
+    from instancefusion_tpu.engine.streaming import ShardedBlockStreamer
+
+    frames = _frames(2)
+    sh = shard.allocate(CFG, NSHARDS)
+    for f in frames:
+        sh = shard.integrate(sh, f.depth, f.color, f.T_wc, mesh, SMALL_INTR, CFG)
+    n0 = int(sh.n_active.sum())
+    assert n0 > 20
+
+    def rows_by_coord(bm):
+        coords = np.asarray(bm.block_coords)
+        sdf = np.asarray(bm.sdf)
+        w = np.asarray(bm.weight)
+        out = {}
+        for i in range(coords.shape[0]):
+            if coords[i, 0] >= 0:
+                out[tuple(coords[i])] = (sdf[i], w[i])
+        return out
+
+    golden = rows_by_coord(sh)
+    streamer = ShardedBlockStreamer(
+        CFG, mesh, radius=0.4, evict_cap=512, admit_cap=512
+    )
+    far = np.array([50.0, 50.0, 50.0], np.float32)
+    vol, _, _, n_out = streamer.evict(sh, None, far)
+    assert n_out == n0
+    assert int(vol.n_active.sum()) == 0
+    assert len(streamer.store) == n0
+    assert int(jnp.sum(vol.directory >= 0)) == 0
+
+    # Save/load the store (the evict/resume invariant), then re-admit.
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "store.npz")
+        streamer.save(path)
+        streamer.store = {}
+        streamer.load(path)
+    streamer.radius = 1e9
+    vol, _, _, n_in = streamer.admit(vol, None, np.zeros(3, np.float32))
+    assert n_in == n0
+    assert len(streamer.store) == 0
+    assert int(vol.n_active.sum()) == n0
+    got = rows_by_coord(vol)
+    assert set(got) == set(golden)
+    for k in golden:
+        np.testing.assert_array_equal(golden[k][0], got[k][0])
+        np.testing.assert_array_equal(golden[k][1], got[k][1])
+    # Every re-admitted row landed on its cuts-owner shard.
+    cl = CFG.table_capacity // NSHARDS
+    coords = np.asarray(vol.block_coords)
+    nact = np.asarray(vol.n_active)
+    cuts = np.asarray(vol.cuts)
+    for s in range(NSHARDS):
+        rows = coords[s * cl : s * cl + nact[s]]
+        owners = np.searchsorted(cuts, rows[:, 0], side="right")
+        assert (owners == s).all()
+
+
+def test_reshard_policy_rebalances_skew(mesh):
+    """The reshard POLICY (VERDICT r4 Missing #1): a camera dwelling in a
+    few x-slabs skews per-shard occupancy; occupancy-balanced cuts + the
+    all_to_all drain drop the max blocks/shard while the map stays
+    bit-equal (same directory set, same directory-addressed contents)."""
+    f = _frames(1)[0]
+    sh = shard.allocate(CFG, NSHARDS)
+    sh = shard.integrate(sh, f.depth, f.color, f.T_wc, mesh, SMALL_INTR, CFG)
+    counts0 = np.asarray(sh.n_active)
+    assert counts0.max() > 1.2 * counts0.mean(), counts0  # genuinely skewed
+
+    before = {
+        "dirset": np.asarray(sh.directory) >= 0,
+        "n": int(sh.n_active.sum()),
+    }
+    sdir = np.asarray(sh.directory).reshape(-1)
+    sel = np.nonzero(sdir >= 0)[0]
+    sdf_before = np.asarray(sh.sdf)[sdir[sel]]
+
+    sh = sh._replace(cuts=shard.balanced_cuts(sh.directory, CFG, NSHARDS))
+    moved = 0
+    for _ in range(8):
+        sh, _, migrated, leftover = shard.reshard(sh, mesh, CFG, migrate_cap=64)
+        moved += int(migrated.sum())
+        if int(leftover.sum()) == 0:
+            break
+    assert int(leftover.sum()) == 0
+    assert moved > 0
+    counts1 = np.asarray(sh.n_active)
+    assert counts1.max() < counts0.max(), (counts0, counts1)
+    assert int(sh.n_active.sum()) == before["n"]
+    np.testing.assert_array_equal(
+        np.asarray(sh.directory) >= 0, before["dirset"]
+    )
+    hdir = np.asarray(sh.directory).reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(sh.sdf)[hdir[sel]], sdf_before, atol=1e-6
+    )
