@@ -55,11 +55,16 @@ if noisy:
     ae = int(os.environ.get("ASSOC", "0"))
     assoc = (ae, ae, ae) if ae else (2, 2, 4)
     vel = float(os.environ.get("VEL", "0.8"))
+    # RGB=w enables the photometric term at weight w; TEXTURE=1 renders
+    # the world-anchored procedural texture so it has signal to use
+    # (VERDICT r4 Weak #3: measure the term on the noisy textured rig).
+    rgb_w = float(os.environ.get("RGB", "0.0"))
     cfg = dataclasses.replace(
         cfg,
-        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=icp_pallas,
+        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=rgb_w, use_pallas=icp_pallas,
                       assoc_every=assoc, vel_seed=vel),
     )
+    textured = os.environ.get("TEXTURE", "0") == "1"
     poses = synthetic.handheld_trajectory(
         n,
         sweep=float(os.environ.get("SWEEP", "0.8")),
@@ -69,21 +74,38 @@ if noisy:
     keys = jax.random.split(jax.random.PRNGKey(0), n)
     frames = [
         synthetic.add_sensor_noise(
-            synthetic.render_frame(poses[i], cfg.intrinsics), keys[i]
+            synthetic.render_frame(poses[i], cfg.intrinsics, texture=textured),
+            keys[i],
         )
         for i in range(n)
     ]
 else:
     poses = synthetic.orbit_trajectory(n)
     frames = [synthetic.render_frame(poses[i], cfg.intrinsics) for i in range(n)]
+# CONSISTENCY=1: run the map-consistency sentinel (frame-to-frame vs
+# frame-to-model disagreement EWMA — the drift alarm the health gate
+# lacks; see EngineConfig.consistency_check) and report whether it fires.
+if os.environ.get("CONSISTENCY", "0") == "1":
+    import dataclasses as _dc
+
+    cfg = _dc.replace(cfg, consistency_check=True)
+
 state = slam.init_state(cfg, poses[0])
-errs = []
+errs, ewmas, alarms = [], [], []
 for i in range(n):
     state, info = slam.step_donated(cfg, state, frames[i].depth, frames[i].color)
     T = np.asarray(state.T_wc)
     errs.append(float(np.linalg.norm(T[:3, 3] - np.asarray(poses[i])[:3, 3])))
+    if info.drift_alarm is not None:
+        ewmas.append(float(info.drift_ewma) * 1000)
+        alarms.append(bool(info.drift_alarm))
 errs = np.array(errs)
 print(f"noisy={noisy} trans err: mean {errs.mean()*1000:.2f} mm  max {errs.max()*1000:.2f} mm"
       f"  n_active {int(state.volume.n_active)} overflow {int(state.volume.overflow)}")
-assert errs.max() < (0.03 if noisy else 0.02), "tracking drifted"
+if ewmas:
+    first_alarm = alarms.index(True) if any(alarms) else -1
+    print(f"sentinel: ewma mean {np.mean(ewmas):.3f} mm  max {np.max(ewmas):.3f} mm"
+          f"  alarm_frames {sum(alarms)}/{len(alarms)}  first_alarm {first_alarm}")
+if os.environ.get("NO_ATE_GATE", "0") != "1":
+    assert errs.max() < (0.03 if noisy else 0.02), "tracking drifted"
 print("OK")

@@ -47,7 +47,14 @@ def _arm_watchdog(seconds: float) -> None:
             ),
             flush=True,
         )
-        os._exit(3)
+        # Do NOT hard-exit here: os._exit mid-compile-RPC is exactly the
+        # kill-a-client-mid-RPC failure mode that wedged the relay for
+        # every later process (observed 2026-08-21, ~75 min outage).
+        # The JSON failure line is out; give any in-flight RPC a long
+        # grace period to complete before exiting.
+        import threading as _t
+
+        _t.Timer(600.0, lambda: os._exit(3)).start()
 
     t = threading.Timer(seconds, fire)
     t.daemon = True
@@ -106,7 +113,12 @@ def main() -> None:
             use_pallas=use_pallas,
             bin_groups=os.environ.get("BENCH_BIN", "0") == "1",
         ),
-        icp=IcpConfig(iters=(10, 5, 4), rgb_weight=0.0, use_pallas=use_pallas,
+        icp=IcpConfig(iters=(10, 5, 4),
+                      # BENCH_RGB: photometric-term weight (VERDICT r4
+                      # Weak #3 — measure it where it counts).  The
+                      # recorded headline stays geometric-only unless set.
+                      rgb_weight=float(os.environ.get("BENCH_RGB", "0.0")),
+                      use_pallas=use_pallas,
                       assoc_every=(2, 2, 4)),
         raycast=RaycastConfig(near=0.2, far=4.0, use_depth_prior=True,
                               screen_space_normals=True, use_splat=use_splat,

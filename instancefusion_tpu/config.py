@@ -218,6 +218,26 @@ class EngineConfig:
     map_kind: str = "dense"
     # Number of map shards (1 = unsharded; >1 = shard_map over 'blocks' axis)
     num_shards: int = 1
+    # Map-consistency sentinel (SURVEY §6 failure detection): slow
+    # map-feedback drift — frames fusing slightly misaligned so the map
+    # drags the next solve — keeps inliers HIGH, so the per-frame
+    # tracking-health gate is blind to it.  The sentinel runs a cheap
+    # coarse-level frame-to-FRAME ICP (no map in the loop) each frame and
+    # EWMAs its disagreement with the frame-to-model increment; a biased
+    # map shows up as a persistent per-frame offset the EWMA integrates
+    # while honest ICP noise averages out.
+    consistency_check: bool = False
+    # EWMA coefficient (~1/alpha frames of memory).
+    consistency_alpha: float = 0.05
+    # Norm of the world-frame disagreement-bias EWMA (meters) that raises
+    # the alarm.  TPU-measured calibration at the graded 512^3/VGA config
+    # (2026-08-21): clean-sensor runs sit at 0.26 mm mean / 0.46 mm max
+    # with zero alarms; Kinect-noise runs whose map feedback inflates
+    # tracking error (12-30 mm vs ~7 mm clean) integrate a 2.5-3.5 mm
+    # bias and alarm persistently.  1.2 mm sits between the regimes with
+    # ~2.6x margin on either side.  The sentinel separates healthy-map
+    # from degraded-map tracking; it does not grade drift magnitude.
+    consistency_thresh: float = 0.0012
 
 
 # ----- BASELINE.json graded presets (SURVEY.md §0.1) -----

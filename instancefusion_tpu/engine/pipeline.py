@@ -198,6 +198,10 @@ def run(
     timer = Timer()
     n_loops = 0
     local_fails = 0
+    # Map-consistency sentinel streak (cfg.consistency_check): persistent
+    # alarms mean the map is dragging the solver — treat like being lost
+    # and try a fern relocalization against undrifted keyframe geometry.
+    drift_streak = 0
     # In-flight (device-async) segmentation result: (seg, depth, T_mc).
     pending_seg = None
     t0 = time.perf_counter()
@@ -216,7 +220,10 @@ def run(
         if (
             enable_loops
             and relocalize_after > 0
-            and int(state.lost_frames) >= relocalize_after
+            and (
+                int(state.lost_frames) >= relocalize_after
+                or drift_streak >= max(3 * relocalize_after, 15)
+            )
             and int(backend.kf.count) > 0
         ):
             with timer.phase("relocalize"):
@@ -271,6 +278,13 @@ def run(
                                 lost_frames=jnp.zeros((), jnp.int32),
                             )
                         )
+                        if getattr(state, "drift_ewma", None) is not None:
+                            # The re-seat invalidates the accumulated
+                            # disagreement — restart the sentinel clean.
+                            state = state._replace(
+                                drift_ewma=jnp.zeros((3,), jnp.float32)
+                            )
+                        drift_streak = 0
                         relocalized = True
 
         # Asynchronous segmentation overlap (SURVEY §3.2 "Pipeline
@@ -300,6 +314,8 @@ def run(
                 )
             else:
                 state, info = _step(state, frame.depth, frame.color)
+        if info.drift_alarm is not None:
+            drift_streak = drift_streak + 1 if bool(info.drift_alarm) else 0
         # Dispatch the segmentation head at the configured cadence
         # (InstanceConfig.seg_every) without fetching the result.
         seg_dispatched = False
@@ -543,6 +559,15 @@ def run(
                     "seg_dispatched": seg_dispatched,
                     "lost_frames": int(state.lost_frames),
                     "reshard_migrated": reshard_migrated,
+                    **(
+                        {
+                            "drift_ewma_mm": round(
+                                float(info.drift_ewma) * 1000, 3
+                            ),
+                            "drift_alarm": bool(info.drift_alarm),
+                        }
+                        if info.drift_alarm is not None else {}
+                    ),
                     **stream_stats,
                     **{f"t_{k}_ms": round(v, 2) for k, v in timer.times_ms.items()},
                 }

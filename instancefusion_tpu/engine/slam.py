@@ -70,6 +70,12 @@ class SlamState(NamedTuple):
     # signal for active/inactive local loop closure (engine/localloop.py) —
     # the reference's ElasticFusion-style time-windowed model split.
     stamp: jnp.ndarray | None = None
+    # Map-consistency sentinel state (None unless cfg.consistency_check):
+    # previous frame's coarse-level (vmap, nmap, valid) for the
+    # frame-to-frame check, and the world-frame disagreement-bias EWMA
+    # vector f32[3] (see slam._consistency_update).
+    prev_coarse: tuple | None = None
+    drift_ewma: jnp.ndarray | None = None
 
 
 class StepInfo(NamedTuple):
@@ -77,6 +83,11 @@ class StepInfo(NamedTuple):
     residual: jnp.ndarray
     track_ok: jnp.ndarray
     fused_voxels: jnp.ndarray  # voxels receiving an update this frame
+    # Map-consistency sentinel (cfg.consistency_check): EWMA of the
+    # frame-to-frame vs frame-to-model translation disagreement (m), and
+    # whether it crossed cfg.consistency_thresh this frame.
+    drift_ewma: jnp.ndarray | None = None
+    drift_alarm: jnp.ndarray | None = None
 
 
 def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamState:
@@ -102,6 +113,16 @@ def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamS
         if cfg.map_kind != "blocks":
             raise ValueError("track_stamps requires map_kind='blocks'")
         stamp = jnp.zeros((cfg.tsdf.table_capacity, 2), jnp.int32)
+    prev_coarse = drift_ewma = None
+    if cfg.consistency_check:
+        s = 1 << max(cfg.icp.levels - 2, 0)
+        hc, wc = h // s, w // s
+        prev_coarse = (
+            jnp.zeros((hc, wc, 3), jnp.float32),
+            jnp.zeros((hc, wc, 3), jnp.float32),
+            jnp.zeros((hc, wc), bool),
+        )
+        drift_ewma = jnp.zeros((3,), jnp.float32)  # world-frame bias vector
     state = SlamState(
         T_wc=T0,
         volume=volume,
@@ -113,6 +134,8 @@ def init_state(cfg: EngineConfig, T_init_wc: jnp.ndarray | None = None) -> SlamS
         votes=votes,
         table=table,
         stamp=stamp,
+        prev_coarse=prev_coarse,
+        drift_ewma=drift_ewma,
     )
     # Leaves holding the same buffer (T0 three times; cached zeros
     # constants) would make the donated step variants fail with
@@ -231,6 +254,62 @@ def _splat_map_update(
     return new_volume, pred
 
 
+def _consistency_update(cfg: EngineConfig, state, pyr, result, T_new):
+    """Map-consistency sentinel (SURVEY §6 failure detection).
+
+    Slow map-feedback drift — frames fusing slightly misaligned so the
+    map drags the next solve — keeps inliers high, so the per-frame
+    health gate cannot see it.  This runs a coarse-level frame-to-FRAME
+    ICP (previous frame's coarse vmap/nmap as the target — no map in the
+    loop) seeded at the frame-to-model increment, and EWMAs the
+    translation disagreement between the two odometries: a dragging map
+    produces a persistent per-frame bias that the EWMA integrates, while
+    honest ICP noise averages out.  ~80x60 x few GN steps: noise-level
+    cost next to the VGA 3-level solve.
+    """
+    if not cfg.consistency_check:
+        return None, None, None, None
+    import dataclasses
+
+    # One level above the coarsest: the coarsest (e.g. 160x120 at VGA) is
+    # what the main solve uses for basin capture, but its f2f noise floor
+    # (mm-scale) would bury the sub-mm/frame drift bias being integrated.
+    lvl = max(cfg.icp.levels - 2, 0)
+    coarse = pyr[lvl]
+    cur = (coarse["vmap"], coarse["nmap"], coarse["valid"])
+    pv, pn, pval = state.prev_coarse
+    prec = jax.lax.Precision.HIGHEST
+    # Frame-to-model relative increment (prev camera -> current camera).
+    T_rel_f2m = jnp.matmul(se3_inverse(state.T_wc), T_new, precision=prec)
+    icp_cfg = dataclasses.replace(
+        cfg.icp, levels=1, iters=(6,), rgb_weight=0.0,
+        min_valid=max(cfg.icp.min_valid // 8, 20), assoc_every=2,
+    )
+    f2f = icp.track(
+        [coarse], pv, pn, pval,
+        T_rel_f2m,  # seed at the f2m answer; measure the residual pull
+        jnp.eye(4, dtype=jnp.float32),  # prev maps live in prev-cam frame
+        cfg.intrinsics.level(lvl), icp_cfg,
+    )
+    delta = jnp.matmul(se3_inverse(f2f.T_wc), T_rel_f2m, precision=prec)
+    # VECTOR EWMA in the world frame: per-frame ICP noise (~mm at VGA
+    # with sensor noise) is directionally random and averages toward
+    # zero, while a dragging map pulls in a world-consistent direction —
+    # the bias survives the average.  A scalar-norm EWMA cannot make
+    # this separation (measured: the noisy fr1-mean rig's norm floor
+    # exceeds the drift rig's signal).
+    d_w = jnp.matmul(
+        state.T_wc[:3, :3], delta[:3, 3], precision=prec
+    )
+    ok = result.valid & f2f.valid & (state.frame_idx > 0)
+    a = cfg.consistency_alpha
+    ewma = jnp.where(ok, (1 - a) * state.drift_ewma + a * d_w, state.drift_ewma)
+    mag = jnp.linalg.norm(ewma)
+    # Hold the alarm down while the map settles (first ~10 frames fuse
+    # into a near-empty model; their disagreement is honest).
+    return cur, ewma, mag, (mag > cfg.consistency_thresh) & (state.frame_idx > 10)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def step(
     cfg: EngineConfig,
@@ -318,6 +397,9 @@ def step(
             cfg, stamp, volume, state.volume.n_active, T_new, fuse_ok,
             state.frame_idx,
         )
+    prev_coarse, drift_ewma, drift_mag, drift_alarm = _consistency_update(
+        cfg, state, pyr, result, T_new
+    )
     new_state = state._replace(
         T_wc=T_new,
         volume=volume,
@@ -331,12 +413,16 @@ def step(
         # velocity term identity (no runaway extrapolation while lost).
         T_prev_wc=jnp.where(result.valid, state.T_wc, T_new),
         stamp=stamp,
+        prev_coarse=prev_coarse,
+        drift_ewma=drift_ewma,
     )
     info = StepInfo(
         inliers=result.inliers,
         residual=result.residual,
         track_ok=result.valid | first,
         fused_voxels=fused,
+        drift_ewma=drift_mag,
+        drift_alarm=drift_alarm,
     )
     return new_state, info
 
