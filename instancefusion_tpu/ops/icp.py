@@ -57,6 +57,7 @@ def associate(
     cfg: IcpConfig,
     tgt_depth: jnp.ndarray | None = None,  # (Ht,Wt) predicted z-depth
     intr_kref: tuple | None = None,  # corner-conv (fx,fy,cx,cy) of target
+    tgt_rgb=None,  # optional (intensity, gx, gy) target planes (Ht,Wt)
 ):
     """Projective data association: per source pixel, the target vertex /
     normal it corresponds to under the current pose estimate.
@@ -67,6 +68,10 @@ def associate(
     between (the reference re-associates every iteration — on a GPU the
     `tex2D` gather is nearly free; on TPU the classic fixed-correspondence
     inner loop is the hardware-appropriate schedule).
+
+    With `tgt_rgb` the photometric targets ride the SAME pass (one extra
+    window contraction in the Pallas kernel instead of 4 XLA flat
+    gathers) and the return gains (i_t, gx_t, gy_t, rgb_ok), each (HW,).
     """
     h, w = valid_src.shape
     p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
@@ -92,13 +97,17 @@ def associate(
 
         if intr_kref is None:
             intr_kref = (intr.fx, intr.fy, intr.cx, intr.cy)
-        q_w, n_t, assoc_valid = gather_target_maps(
+        out = gather_target_maps(
             u.reshape(h, w), v.reshape(h, w), sel_flat.reshape(h, w),
             tgt_depth, tgt_normal_w, se3_inverse(T_tgt_cw), intr_kref,
+            tgt_rgb=tgt_rgb,
         )
-        q_w = q_w.reshape(-1, 3)
-        n_t = n_t.reshape(-1, 3)
-        assoc_valid = assoc_valid.reshape(-1)
+        q_w = out[0].reshape(-1, 3)
+        n_t = out[1].reshape(-1, 3)
+        assoc_valid = out[2].reshape(-1)
+        if tgt_rgb is not None:
+            i_t, gx_t, gy_t = (p.reshape(-1) for p in out[3])
+            return q_w, n_t, assoc_valid, (i_t, gx_t, gy_t, assoc_valid)
     else:
         uic = jnp.clip(ui, 0, intr.width - 1)
         vic = jnp.clip(vi, 0, intr.height - 1)
@@ -106,6 +115,11 @@ def associate(
         q_w = tgt_vertex_w.reshape(-1, 3)[flat]
         n_t = tgt_normal_w.reshape(-1, 3)[flat]
         assoc_valid = tgt_valid.reshape(-1)[flat] & sel_flat
+        if tgt_rgb is not None:
+            i_t = tgt_rgb[0].reshape(-1)[flat]
+            gx_t = tgt_rgb[1].reshape(-1)[flat]
+            gy_t = tgt_rgb[2].reshape(-1)[flat]
+            return q_w, n_t, assoc_valid, (i_t, gx_t, gy_t, assoc_valid)
     return q_w, n_t, assoc_valid
 
 
@@ -189,53 +203,25 @@ def build_normal_equations(
 
 
 def intensity_gradients(tgt_intensity: jnp.ndarray):
-    """Central-difference image gradients of the predicted intensity."""
+    """Central-difference image gradients of the predicted intensity.
+
+    Border rows/cols are zeroed (jnp.roll wraps around): a zero gradient
+    makes a border correspondence contribute nothing to the photometric
+    system, so no in-image margin test is needed at gather time.
+    """
+    h, w = tgt_intensity.shape
     gx = 0.5 * (jnp.roll(tgt_intensity, -1, 1) - jnp.roll(tgt_intensity, 1, 1))
     gy = 0.5 * (jnp.roll(tgt_intensity, -1, 0) - jnp.roll(tgt_intensity, 1, 0))
-    return gx, gy
-
-
-def associate_rgb(
-    vmap_src_c: jnp.ndarray,  # (H,W,3)
-    valid_src: jnp.ndarray,  # (H,W)
-    tgt_intensity: jnp.ndarray,  # (Ht,Wt) predicted intensity
-    tgt_gx: jnp.ndarray,  # (Ht,Wt) its image gradients
-    tgt_gy: jnp.ndarray,
-    tgt_valid: jnp.ndarray,  # (Ht,Wt)
-    T_est_wc: jnp.ndarray,
-    T_tgt_cw: jnp.ndarray,
-    intr: Intrinsics,
-):
-    """Gather the photometric targets once per association round.
-
-    Fixed-correspondence photometric term (same schedule as the
-    geometric `associate`): the target intensity/gradients are sampled at
-    the projection under the CURRENT pose and reused for the inner GN
-    steps — eliminating the per-iteration XLA gathers that previously
-    made rgb_weight>0 disable the fused TPU inner loop.  Returns
-    (i_t (HW,), gx (HW,), gy (HW,), rgb_valid (HW,) bool).
-    """
-    p_w = transform_points(T_est_wc, vmap_src_c.reshape(-1, 3))
-    p_tc = transform_points(T_tgt_cw, p_w)
-    u, v, z = project(intr, p_tc)
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-    in_img = (ui >= 1) & (ui < intr.width - 1) & (vi >= 1) & (vi < intr.height - 1)
-    uic = jnp.clip(ui, 0, intr.width - 1)
-    vic = jnp.clip(vi, 0, intr.height - 1)
-    flat = vic * intr.width + uic
-    i_t = tgt_intensity.reshape(-1)[flat]
-    gxs = tgt_gx.reshape(-1)[flat]
-    gys = tgt_gy.reshape(-1)[flat]
-    tvalid = tgt_valid.reshape(-1)[flat]
-    mask = valid_src.reshape(-1) & in_img & (z > 0.0) & tvalid
-    return i_t, gxs, gys, mask
+    col = jnp.arange(w)
+    row = jnp.arange(h)[:, None]
+    interior = (col > 0) & (col < w - 1) & (row > 0) & (row < h - 1)
+    return jnp.where(interior, gx, 0.0), jnp.where(interior, gy, 0.0)
 
 
 def reduce_rgb_equations(
     vmap_src_c: jnp.ndarray,  # (H,W,3)
     intensity_src: jnp.ndarray,  # (H,W)
-    i_t: jnp.ndarray,  # (HW,) gathered target intensity (associate_rgb)
+    i_t: jnp.ndarray,  # (HW,) gathered target intensity (associate tgt_rgb)
     gx_t: jnp.ndarray,  # (HW,) gathered target gradients
     gy_t: jnp.ndarray,
     rgb_valid: jnp.ndarray,  # (HW,) bool
@@ -354,17 +340,23 @@ def track(
 
         def outer_body(_, carry):
             T, nin, rsum = carry
-            q_w, n_t, a_ok = associate(
-                src["vmap"], src["valid"], tv, tn, tval,
-                T, T_pred_cw, intr_l, cfg,
-                tgt_depth=td, intr_kref=intr_k,
-            )
             if use_rgb:
-                rgb_fix = associate_rgb(
-                    src["vmap"], src["valid"], ti, ti_gx, ti_gy, tval,
-                    T, T_pred_cw, intr_l,
+                # One association pass gathers the geometric AND
+                # photometric targets (the rgb planes ride the same
+                # one-hot contraction in the Pallas kernel — 4 extra XLA
+                # flat gathers per round cost 5x the whole track call).
+                q_w, n_t, a_ok, rgb_fix = associate(
+                    src["vmap"], src["valid"], tv, tn, tval,
+                    T, T_pred_cw, intr_l, cfg,
+                    tgt_depth=td, intr_kref=intr_k,
+                    tgt_rgb=(ti, ti_gx, ti_gy),
                 )
             else:
+                q_w, n_t, a_ok = associate(
+                    src["vmap"], src["valid"], tv, tn, tval,
+                    T, T_pred_cw, intr_l, cfg,
+                    tgt_depth=td, intr_kref=intr_k,
+                )
                 rgb_fix = None
             if use_fused_inner:
                 from instancefusion_tpu.ops.pallas.icp import gn_iterations

@@ -85,16 +85,22 @@ def _kernel(px, py, pz, nx, ny, nz, qx, qy, qz, m, out_ref, acc_ref,
 
 
 def _gather_kernel(
-    u_ref, v_ref, sel_ref,  # (8, 128) source tiles: projections + mask
-    cam_ref,  # f32[16] SMEM: R_pred rows (9), t_pred (3), fx fy cx cy
-    td, tnx, tny, tnz,  # [HP, WP] target planes (resident): depth, normals
-    ovx, ovy, ovz, onx, ony, onz, ova,  # (8, 128) gathered outputs
-    *,
+    # (8, 128) source tiles (u, v, sel), SMEM cam row, [HP, WP] target
+    # planes (depth, normals; +intensity/gx/gy with use_rgb), then the
+    # (8, 128) gathered outputs (vertex, normal, valid; +i/gx/gy).
+    *refs,
     hp: int,
     wp: int,
     thw: int,
     tww: int,
+    use_rgb: bool = False,
 ):
+    if use_rgb:
+        (u_ref, v_ref, sel_ref, cam_ref, td, tnx, tny, tnz, ti, tgx, tgy,
+         ovx, ovy, ovz, onx, ony, onz, ova, oi, ogx, ogy) = refs
+    else:
+        (u_ref, v_ref, sel_ref, cam_ref, td, tnx, tny, tnz,
+         ovx, ovy, ovz, onx, ony, onz, ova) = refs
     u_t = u_ref[:]
     v_t = v_ref[:]
     sel = sel_ref[:] > 0.5
@@ -123,14 +129,27 @@ def _gather_kernel(
     # where valid, so |n| > 0.5 after the gather is the valid bit.
     d_w = td[rw, cw]
     d_hi = d_w.astype(jnp.bfloat16)
-    win = jnp.concatenate(
-        [
-            d_hi.astype(jnp.float32),
-            d_w - d_hi.astype(jnp.float32),
-            tnx[rw, cw], tny[rw, cw], tnz[rw, cw],
-        ],
-        axis=0,
-    ).astype(jnp.bfloat16)  # (5*THW, TW)
+    rows = [
+        d_hi.astype(jnp.float32),
+        d_w - d_hi.astype(jnp.float32),
+        tnx[rw, cw], tny[rw, cw], tnz[rw, cw],
+    ]
+    if use_rgb:
+        # Intensity as an exact hi/lo split (the photometric residual
+        # I_t - I_src is small — bf16's ~3 decimal digits would alias
+        # it); gradients single-pass bf16 (they only scale the
+        # Jacobian).  Folding the rgb planes into the SAME one-hot
+        # contraction costs ~2x this kernel instead of 4 XLA flat
+        # gathers per association round (~19 ms/track -> sub-ms; the
+        # r4 photometric bench fell 213 -> 42 fps on exactly this).
+        i_w = ti[rw, cw]
+        i_hi = i_w.astype(jnp.bfloat16)
+        rows += [
+            i_hi.astype(jnp.float32),
+            i_w - i_hi.astype(jnp.float32),
+            tgx[rw, cw], tgy[rw, cw],
+        ]
+    win = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)  # (np*THW, TW)
 
     r00, r01, r02 = cam_ref[0], cam_ref[1], cam_ref[2]
     r10, r11, r12 = cam_ref[3], cam_ref[4], cam_ref[5]
@@ -165,6 +184,16 @@ def _gather_kernel(
         nx = jnp.sum(oh_v * m1[2 * thw : 3 * thw], axis=0)
         ny = jnp.sum(oh_v * m1[3 * thw : 4 * thw], axis=0)
         nz = jnp.sum(oh_v * m1[4 * thw : 5 * thw], axis=0)
+        if use_rgb:
+            iv = (
+                jnp.sum(oh_v * m1[5 * thw : 6 * thw], axis=0)
+                + jnp.sum(oh_v * m1[6 * thw : 7 * thw], axis=0)
+            )
+            gxv = jnp.sum(oh_v * m1[7 * thw : 8 * thw], axis=0)
+            gyv = jnp.sum(oh_v * m1[8 * thw : 9 * thw], axis=0)
+            oi[r, :] = iv
+            ogx[r, :] = gxv
+            ogy[r, :] = gyv
         # Reconstruct q_w from the gathered depth at the SAME pixel the
         # one-hot window selected: du in (-0.5, 0.5] means col =
         # ceil(u - 0.5) (round-half-up) — jnp.round would round half-to-
@@ -195,12 +224,16 @@ def gather_target_maps(
     T_tgt_wc: jnp.ndarray,  # (4, 4) camera-to-world of the prediction view
     intr_kref,  # (fx, fy, cx, cy) floats of the TARGET view resolution
     interpret: bool = False,
+    tgt_rgb=None,  # optional (intensity, gx, gy) target planes, each (H, W)
 ):
     """Nearest-pixel gather of target maps at (v, u), MXU-factored.
 
     Returns (q_w (H,W,3), n_t (H,W,3), assoc_valid (H,W) bool); pixels
     with sel=False, off-image projections, projections outside their
     tile's search window, or invalid target pixels come back invalid.
+    With `tgt_rgb` the photometric target planes ride the same one-hot
+    contraction (the reference's rgbStep `tex2D` gathers, SURVEY §4.3)
+    and an extra (i_t, gx_t, gy_t) triple of (H,W) maps is appended.
     """
     h, w = u.shape
     hp = -(-h // 8) * 8
@@ -230,12 +263,18 @@ def gather_target_maps(
     tile = pl.BlockSpec((8, _LANES), lambda i, j: (i, j))
     crow = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec((hp, wp), lambda i, j: (0, 0))
+    use_rgb = tgt_rgb is not None
+    if use_rgb:
+        planes += [pad(p) for p in tgt_rgb]
+    nout = 10 if use_rgb else 7
     outs = pl.pallas_call(
-        functools.partial(_gather_kernel, hp=hp, wp=wp, thw=thw, tww=tww),
+        functools.partial(
+            _gather_kernel, hp=hp, wp=wp, thw=thw, tww=tww, use_rgb=use_rgb
+        ),
         grid=(hp // 8, wp // _LANES),
-        in_specs=[tile, tile, tile, crow] + [full] * 4,
-        out_specs=[tile] * 7,
-        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 7,
+        in_specs=[tile, tile, tile, crow] + [full] * len(planes),
+        out_specs=[tile] * nout,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * nout,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -245,6 +284,8 @@ def gather_target_maps(
     q_w = jnp.stack([o[:h, :w] for o in outs[0:3]], axis=-1)
     n_t = jnp.stack([o[:h, :w] for o in outs[3:6]], axis=-1)
     valid = (outs[6][:h, :w] > 0.5) & sel
+    if use_rgb:
+        return q_w, n_t, valid, tuple(o[:h, :w] for o in outs[7:10])
     return q_w, n_t, valid
 
 

@@ -326,6 +326,56 @@ def test_gn_iterations_matches_jnp_inner_loop():
     np.testing.assert_allclose(np.asarray(T_got), np.asarray(T_true), atol=5e-3)
 
 
+def test_gather_target_maps_rgb_planes_match_flat_gather():
+    """With tgt_rgb the association kernel also gathers the photometric
+    targets (intensity as exact hi/lo bf16, gradients bf16) at the SAME
+    rounded pixel as the geometric planes — vs a flat np gather."""
+    from instancefusion_tpu.geometry.se3 import se3_exp
+
+    rng = np.random.RandomState(3)
+    h, w = 48, 160
+    fx = fy = 100.0
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    T_wc = se3_exp(jnp.asarray([0.1, -0.2, 0.05, 0.04, -0.03, 0.02]))
+    tgt_ok = rng.rand(h, w) > 0.3
+    tgt_d = (rng.uniform(0.5, 3.0, (h, w)) * tgt_ok).astype(np.float32)
+    tgt_n = rng.randn(h, w, 3).astype(np.float32)
+    tgt_n /= np.linalg.norm(tgt_n, axis=-1, keepdims=True)
+    tgt_n *= tgt_ok[..., None]
+    ti = rng.rand(h, w).astype(np.float32)
+    tgx = rng.uniform(-0.5, 0.5, (h, w)).astype(np.float32)
+    tgy = rng.uniform(-0.5, 0.5, (h, w)).astype(np.float32)
+
+    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    u = jnp.asarray(uu + rng.uniform(-3, 3, (h, w)).astype(np.float32))
+    v = jnp.asarray(vv + rng.uniform(-3, 3, (h, w)).astype(np.float32))
+    sel = jnp.asarray(rng.rand(h, w) > 0.1)
+    in_img = (jnp.round(u) >= 0) & (jnp.round(u) < w) & \
+             (jnp.round(v) >= 0) & (jnp.round(v) < h)
+    sel = sel & in_img
+
+    _, _, ok, (i_g, gx_g, gy_g) = icp_pl.gather_target_maps(
+        u, v, sel, jnp.asarray(tgt_d), jnp.asarray(tgt_n), T_wc,
+        (fx, fy, cx, cy), interpret=True,
+        tgt_rgb=(jnp.asarray(ti), jnp.asarray(tgx), jnp.asarray(tgy)),
+    )
+
+    ui = np.clip(np.round(np.asarray(u)).astype(int), 0, w - 1)
+    vi = np.clip(np.round(np.asarray(v)).astype(int), 0, h - 1)
+    okn = np.asarray(ok)
+    # Intensity is an exact hi/lo split: tight tolerance.
+    np.testing.assert_allclose(
+        np.asarray(i_g)[okn], ti[vi, ui][okn], atol=2e-4
+    )
+    # Gradients travel single-pass bf16 (they only scale the Jacobian).
+    np.testing.assert_allclose(
+        np.asarray(gx_g)[okn], tgx[vi, ui][okn], atol=4e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gy_g)[okn], tgy[vi, ui][okn], atol=4e-3
+    )
+
+
 def test_gn_iterations_rgb_matches_jnp_inner_loop():
     """The fused GN kernel WITH the photometric term == the jnp
     fixed-correspondence loop (geometric + rgb joined in one system)."""
