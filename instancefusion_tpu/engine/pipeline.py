@@ -199,8 +199,8 @@ def run(
     n_loops = 0
     local_fails = 0
     # Map-consistency sentinel streak (cfg.consistency_check): persistent
-    # alarms mean the map is dragging the solver — treat like being lost
-    # and try a fern relocalization against undrifted keyframe geometry.
+    # alarms mean the map is dragging the solver — force out-of-cadence
+    # keyframe/loop-closure attempts (see the force_kf policy below).
     drift_streak = 0
     # In-flight (device-async) segmentation result: (seg, depth, T_mc).
     pending_seg = None
@@ -220,10 +220,7 @@ def run(
         if (
             enable_loops
             and relocalize_after > 0
-            and (
-                int(state.lost_frames) >= relocalize_after
-                or drift_streak >= max(3 * relocalize_after, 15)
-            )
+            and int(state.lost_frames) >= relocalize_after
             and int(backend.kf.count) > 0
         ):
             with timer.phase("relocalize"):
@@ -424,9 +421,21 @@ def run(
 
         # Keyframes only from frames that tracked (a lost frame would
         # poison the fern database and the odometry chain).
+        #
+        # A persistent map-consistency alarm (the sentinel integrating a
+        # directional f2f/f2m disagreement — the map is dragging the
+        # solver) forces an out-of-cadence keyframe + loop attempt: the
+        # pose-graph + landmark-BA machinery is what arrests
+        # map-feedback drift (measured on the SWEEP=1.6 rig: 19.5 mm
+        # mean with loops vs 50-100 mm bare engine).  Hard fern
+        # relocalization is NOT the right response while tracking is
+        # still healthy — re-seating against a low-overlap retrieved
+        # keyframe mid-sweep measured 655 mm mean on the same rig; it
+        # stays reserved for genuinely lost tracking above.
+        force_kf = drift_streak >= max(3 * relocalize_after, 15)
         is_kf = (
             enable_loops
-            and (i % pgc.keyframe_every == 0)
+            and (i % pgc.keyframe_every == 0 or force_kf)
             and bool(info.track_ok)
         )
         closed = False
@@ -462,6 +471,10 @@ def run(
                         T_wm = jnp.matmul(corr, T_wm, precision=_PREC)
                         n_loops += 1
                         closed = True
+            if force_kf:
+                # Re-arm: the next forced attempt needs a fresh
+                # persistent streak, not one more alarmed frame.
+                drift_streak = 0
 
         # Map hygiene at low cadence: confidence culling + slot compaction
         # (GlobalModel::clean analog) and instance-table retirement.
