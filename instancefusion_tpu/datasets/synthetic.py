@@ -145,6 +145,173 @@ def render_frame(
     return _render_frame_impl(T_wc, intr, _COLORS, texture)
 
 
+# ---------------------------------------------------------------------------
+# Randomized parametric scenes (seg-head generalization rig, SURVEY §8
+# Phase 3 exit: train on varied scenes, gate on a held-out seed)
+# ---------------------------------------------------------------------------
+
+MAX_SCENE_OBJECTS = 6
+
+# Base color per object KIND (1 sphere, 2 box, 3 cylinder) — matches the
+# fixed scene's palette so the legacy scene sits inside the randomized
+# distribution; random_scene jitters around these.
+_KIND_COLORS = jnp.array(
+    [
+        [0.0, 0.0, 0.0],  # kind 0 = empty slot, never rendered
+        [0.9, 0.3, 0.2],
+        [0.2, 0.7, 0.3],
+        [0.2, 0.4, 0.9],
+    ]
+)
+
+
+class Scene(NamedTuple):
+    """A parametric room scene: up to MAX_SCENE_OBJECTS primitives.
+
+    Static shapes (always MAX_SCENE_OBJECTS slots; kind 0 = empty) so a
+    single compiled renderer serves every seed.  sizes packs per-kind
+    parameters: sphere (r, -, -), box (half extents), cylinder (r, h, -).
+    """
+
+    centers: jnp.ndarray  # f32[K, 3]
+    sizes: jnp.ndarray  # f32[K, 3]
+    kinds: jnp.ndarray  # i32[K] — 1 sphere, 2 box, 3 cylinder, 0 empty
+    colors: jnp.ndarray  # f32[K, 3]
+
+
+def random_scene(seed: int, n_min: int = 3, n_max: int = MAX_SCENE_OBJECTS):
+    """Sample a randomized room scene: object count, kind, pose, size and
+    color all vary by seed (rejection-placed to avoid heavy overlap)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = MAX_SCENE_OBJECTS
+    n = int(rng.integers(n_min, n_max + 1))
+    kinds = np.zeros(k, np.int32)
+    kinds[:n] = rng.integers(1, 4, n)
+    centers = np.zeros((k, 3), np.float32)
+    placed: list = []
+    for i in range(n):
+        c = None
+        for _ in range(64):
+            c = np.array([
+                rng.uniform(-0.7, 0.7),
+                rng.uniform(-0.55, 0.7),  # keep clear of the orbit eyes
+                rng.uniform(0.7, 1.7),
+            ])
+            if all(np.linalg.norm(c - q) > 0.55 for q in placed):
+                break
+        placed.append(c)
+        centers[i] = c
+    sizes = np.zeros((k, 3), np.float32)
+    for i in range(n):
+        if kinds[i] == 1:
+            sizes[i, 0] = rng.uniform(0.16, 0.32)
+        elif kinds[i] == 2:
+            sizes[i] = rng.uniform(0.14, 0.27, 3)
+        else:
+            sizes[i, 0] = rng.uniform(0.12, 0.22)
+            sizes[i, 1] = rng.uniform(0.22, 0.38)
+    base = np.asarray(_KIND_COLORS)
+    colors = np.zeros((k, 3), np.float32)
+    for i in range(n):
+        colors[i] = np.clip(
+            base[kinds[i]] + rng.uniform(-0.18, 0.18, 3), 0.05, 1.0
+        )
+    return Scene(
+        centers=jnp.asarray(centers), sizes=jnp.asarray(sizes),
+        kinds=jnp.asarray(kinds), colors=jnp.asarray(colors),
+    )
+
+
+def scene_sdf_with(p: jnp.ndarray, scene: Scene):
+    """Parametric-scene SDF. p: (..., 3) world -> (sdf, object_id) where
+    id 0 = walls and i+1 = object slot i (mirrors `scene_sdf`)."""
+    room_half = jnp.array([1.2, 1.2, 1.2])
+    room_center = jnp.array([0.0, 0.0, 1.2])
+    walls = -_sd_box(p, room_center, room_half)
+
+    d = p[..., None, :] - scene.centers  # (..., K, 3)
+    dist = jnp.linalg.norm(d, axis=-1)
+    sph = dist - scene.sizes[:, 0]
+    q = jnp.abs(d) - scene.sizes
+    box = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(
+        jnp.max(q, axis=-1), 0.0
+    )
+    dxy = jnp.linalg.norm(d[..., :2], axis=-1) - scene.sizes[:, 0]
+    dz = jnp.abs(d[..., 2]) - scene.sizes[:, 1]
+    cyl = jnp.linalg.norm(
+        jnp.maximum(jnp.stack([dxy, dz], -1), 0.0), axis=-1
+    ) + jnp.minimum(jnp.maximum(dxy, dz), 0.0)
+
+    ds = jnp.where(
+        scene.kinds == 1, sph, jnp.where(scene.kinds == 2, box, cyl)
+    )
+    ds = jnp.where(scene.kinds > 0, ds, 1e9)  # empty slots never win
+    all_ds = jnp.concatenate([walls[..., None], ds], axis=-1)
+    obj = jnp.argmin(all_ds, axis=-1).astype(jnp.int32)
+    return jnp.min(all_ds, axis=-1), obj
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _render_scene_impl(
+    T_wc: jnp.ndarray, intr: Intrinsics, scene: Scene, texture: bool = False
+) -> Frame:
+    """Sphere-trace a parametric Scene (random_scene) — same conventions
+    as `_render_frame_impl`; all scene parameters are traced arguments so
+    one compilation serves every seed."""
+    rays_c = ray_directions(intr)
+    ray_norm = jnp.linalg.norm(rays_c, axis=-1)
+    R = T_wc[:3, :3]
+    o = T_wc[:3, 3]
+    dirs = (rays_c.reshape(-1, 3) @ R.T).reshape(rays_c.shape)
+    dirs = dirs / ray_norm[..., None]
+
+    def body(_, t):
+        p = o + t[..., None] * dirs
+        s, _ = scene_sdf_with(p, scene)
+        return t + jnp.clip(s, -0.05, 0.5) * 0.9
+
+    t = jax.lax.fori_loop(0, 96, body, jnp.full(rays_c.shape[:2], 0.05))
+    p = o + t[..., None] * dirs
+    s, obj = scene_sdf_with(p, scene)
+    hit = (jnp.abs(s) < 5e-3) & (t > 0.05) & (t < 8.0)
+    depth = jnp.where(hit, t / ray_norm, 0.0)
+
+    eps = 1e-3
+    grads = []
+    for ax in range(3):
+        e = jnp.zeros(3).at[ax].set(eps)
+        sp, _ = scene_sdf_with(p + e, scene)
+        sm, _ = scene_sdf_with(p - e, scene)
+        grads.append(sp - sm)
+    n = jnp.stack(grads, -1)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    light = jnp.array([0.4, -0.3, -0.85])
+    light = light / jnp.linalg.norm(light)
+    shade = 0.55 + 0.45 * jnp.clip(-jnp.sum(n * light, axis=-1), 0.0, 1.0)
+    palette = jnp.concatenate(
+        [jnp.array([[0.7, 0.7, 0.7]]), scene.colors], axis=0
+    )
+    base = jax.nn.one_hot(obj, palette.shape[0], dtype=jnp.float32) @ palette
+    if texture:
+        tex = (
+            0.80
+            + 0.12 * jnp.sin(17.0 * p[..., 0] + 5.0 * p[..., 2])
+            + 0.08 * jnp.sin(23.0 * p[..., 1] - 7.0 * p[..., 0])
+        )
+        base = base * tex[..., None]
+    color = jnp.where(hit[..., None], base * shade[..., None], 0.0)
+    instance = jnp.where(hit, obj, -1).astype(jnp.int32)
+    return Frame(depth=depth, color=color, instance=instance, T_wc=T_wc)
+
+
+def render_frame_scene(
+    T_wc: jnp.ndarray, intr: Intrinsics, scene: Scene, texture: bool = False
+) -> Frame:
+    return _render_scene_impl(T_wc, intr, scene, texture)
+
+
 def orbit_trajectory(
     num_frames: int,
     radius: float = 0.45,

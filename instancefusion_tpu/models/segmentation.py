@@ -93,10 +93,14 @@ class PanopticHead(nn.Module):
 def extract_instances(
     sem_logits: jnp.ndarray,  # f32[H,W,C]
     center_heat: jnp.ndarray,  # f32[H,W] (pre-sigmoid)
-    offsets: jnp.ndarray,  # f32[H,W,2] (dy, dx) to the instance center
+    offsets: jnp.ndarray,  # f32[H,W,2] (dy, dx) to the instance center,
+    #   in units of IMAGE WIDTH (resolution-normalized — see
+    #   targets_from_instances; an FCN's features are local, so pixel-unit
+    #   offsets cannot be consistent across input resolutions)
     max_instances: int,
     center_thresh: float = 0.0,
     nms_window: int = 7,
+    max_assign_dist: float = 0.45,
 ) -> Segmentation:
     """Static-shaped grouping of dense predictions into K instance masks.
 
@@ -126,15 +130,27 @@ def extract_instances(
     # 2. Pixel -> center voting: each pixel's predicted center position.
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    py = (yy + offsets[..., 0]).reshape(-1)  # (HW,)
-    px = (xx + offsets[..., 1]).reshape(-1)
+    py = (yy + offsets[..., 0] * w).reshape(-1)  # (HW,)
+    px = (xx + offsets[..., 1] * w).reshape(-1)
     d2 = (py[:, None] - cy[None, :]) ** 2 + (px[:, None] - cx[None, :]) ** 2
     d2 = jnp.where(valid[None, :], d2, jnp.inf)
     assign = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (HW,)
+    # Distance gate: a pixel whose PREDICTED center is far from every
+    # detected peak belongs to an object whose peak was missed this frame
+    # (below threshold / NMS-suppressed).  Vanilla Panoptic-DeepLab still
+    # assigns it to the nearest other instance — harmless for 2D panoptic
+    # metrics, but poisonous here: those pixels cast persistent 3D label
+    # VOTES for the wrong object/class.  Dropping them (mask -1) makes a
+    # missed detection contribute nothing instead of wrong votes.  The
+    # radius is loose (0.45 w): regression-to-the-mean offsets on LARGE
+    # objects put rim pixels tens of px from the peak, and a tight gate
+    # silenced whole objects; the class-consistency gate below is the
+    # precise wrong-vote filter.
+    near_ok = jnp.min(d2, axis=-1) <= (max_assign_dist * w) ** 2
     any_valid = jnp.any(valid)
 
     sem_cls = jnp.argmax(sem_logits, axis=-1).astype(jnp.int32)  # (H,W)
-    fg = (sem_cls > 0).reshape(-1) & any_valid
+    fg = (sem_cls > 0).reshape(-1) & any_valid & near_ok
     mask_id = jnp.where(fg, assign, -1).reshape(h, w)
 
     # 3. Class per instance: histogram of semantic classes over each mask
@@ -152,6 +168,15 @@ def extract_instances(
     pixels = jnp.sum(hist[:, 1:], axis=-1)
     valid = valid & (pixels > 0)
     classes = jnp.where(valid, classes, 0)
+    # Class-consistency gate: drop pixels whose own semantic argmax
+    # disagrees with their assigned instance's majority class — the pixel
+    # grabbed a neighboring object's center (its own peak missed or its
+    # offset wild).  This is the precise filter against wrong-CLASS 3D
+    # votes; same-class fragment merges pass through untouched (the IoU
+    # association downstream handles those).
+    cls_px = classes[assign]  # gather from a traced vector — safe here
+    keep = fg & (cls_px == sem_cls.reshape(-1))
+    mask_id = jnp.where(keep, assign, -1).reshape(h, w)
     return Segmentation(
         mask_id=mask_id,
         classes=classes,
@@ -253,7 +278,12 @@ def targets_from_instances(
 
     Returns (sem i32[H,W], center f32[H,W], offset f32[H,W,2]): semantic
     class per pixel, a Gaussian bump at each instance's centroid, and the
-    per-pixel vector to its instance centroid.
+    per-pixel vector to its instance centroid in units of IMAGE WIDTH.
+    The normalization makes the offset channel resolution-independent:
+    the same physical scene rendered at 160x120 and 320x240 needs the
+    same normalized offsets, so one FCN checkpoint serves both (pixel
+    units forced the r5 multi-resolution training into an unresolvable
+    conflict — the offset branch never converged and masks fragmented).
     """
     h, w = instance_img.shape
     k = class_of_instance.shape[0]
@@ -273,8 +303,8 @@ def targets_from_instances(
     bump = jnp.where(count[None, None, :] > 0, bump, 0.0)
     center = jnp.max(bump, axis=-1)
 
-    off_y = jnp.sum(onehot * cy, axis=-1) - yy
-    off_x = jnp.sum(onehot * cx, axis=-1) - xx
+    off_y = (jnp.sum(onehot * cy, axis=-1) - yy) / w
+    off_x = (jnp.sum(onehot * cx, axis=-1) - xx) / w
     offset = jnp.where(
         valid[..., None], jnp.stack([off_y, off_x], axis=-1), 0.0
     )
@@ -283,7 +313,7 @@ def targets_from_instances(
 
 def loss_fn(params, rgb, sem_t, center_t, offset_t, num_classes: int,
             width: int = 32, center_weight: float = 10.0,
-            offset_weight: float = 0.1):
+            offset_weight: float = 30.0):
     """Combined loss: semantic CE + center MSE + masked offset L1."""
     model = PanopticHead(num_classes=num_classes, width=width)
     sem, center, offset = model.apply(params, rgb)
