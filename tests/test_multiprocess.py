@@ -222,6 +222,11 @@ def test_two_process_sharded_engine_steps(tmp_path):
     worker.write_text(_ENGINE_WORKER)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # one device per process
+    # The worker lives in tmp_path, so sys.path[0] is tmp_path, not the
+    # repo — make `tests.helpers` importable explicitly.
+    env["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     port = "12479"
     procs = [
         subprocess.Popen(
