@@ -7,7 +7,10 @@ directly comparable to the single-chip headline: the r4 gap was
 the shard bodies; the r5 port of the group kernels into
 shard._fused_step_shard should close it to >= 0.9x.
 
-Env: BENCH_GRID/BENCH_FRAMES/BENCH_TOUCHED as bench.py; SHARDS (default 1).
+Env: BENCH_GRID/BENCH_FRAMES/BENCH_TOUCHED as bench.py; SHARDS (default 1);
+BENCH_CHUNK=K replays K frames per dispatch via slam_sharded.make_run_chunk
+(the sharded analog of bench.py's chunked mode — amortizes the per-frame
+dispatch that is the residual gap vs the single-chip engine).
 Fetch-synced timing (axon's block_until_ready does not sync).
 """
 
@@ -76,6 +79,7 @@ def main() -> None:
     ]
     state = slam_sharded.init_state(cfg, mesh, poses[0])
     step = slam_sharded.make_step(cfg, mesh, donate=True)
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
 
     def sync(state) -> float:
         return float(jnp.sum(state.T_wc))
@@ -83,16 +87,36 @@ def main() -> None:
     for i in range(warmup):
         state, _ = step(state, frames[i].depth, frames[i].color)
     sync(state)
-    t0 = time.perf_counter()
-    for i in range(warmup, warmup + nframes):
-        state, _ = step(state, frames[i].depth, frames[i].color)
-    sync(state)
-    dt = time.perf_counter() - t0
+    if chunk:
+        assert nframes % chunk == 0, "BENCH_FRAMES must be a multiple of BENCH_CHUNK"
+        run_chunk = slam_sharded.make_run_chunk(cfg, mesh)
+        staged = [
+            (
+                jnp.stack([f.depth for f in frames[i : i + chunk]]),
+                jnp.stack([f.color for f in frames[i : i + chunk]]),
+            )
+            for i in range(warmup, warmup + nframes, chunk)
+        ]
+        state, _ = run_chunk(state, *staged[0])  # compile
+        sync(state)
+        staged = staged[1:] + [staged[0]]
+        t0 = time.perf_counter()
+        for d, c in staged:
+            state, _ = run_chunk(state, d, c)
+        sync(state)
+        dt = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        for i in range(warmup, warmup + nframes):
+            state, _ = step(state, frames[i].depth, frames[i].color)
+        sync(state)
+        dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": f"sharded_frames_per_s_{grid}cubed_{shards}shard",
         "value": round(nframes / dt, 3),
         "unit": "frames/s",
         "color_every": cfg.color_every,
+        "chunk": chunk,
     }))
 
 

@@ -116,18 +116,9 @@ def _donated(step):
     return jax.jit(wrapper, donate_argnums=(0,))
 
 
-def make_step(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
-    """Build the jitted sharded step for (cfg, mesh).
-
-    The mesh is closed over (it is not a pytree); the returned function
-    has the same signature/behavior as engine/slam.step.  With
-    `cfg.raycast.use_splat` the map work runs the fused fast path
-    (shard.fused_step_map — list-based allocation, slot-addressed
-    integrate, per-shard MXU splat prediction with depth prior); without
-    it the marched golden path (shard.integrate + shard.raycast) runs.
-    `donate=True` donates the input state (sequential drivers rebind it
-    every frame, letting XLA update the sharded payload in place).
-    """
+def _step_fn(cfg: EngineConfig, mesh: Mesh):
+    """The raw (untraced) sharded step closure shared by make_step and
+    make_run_chunk."""
     intr = cfg.intrinsics
 
     def step(state: ShardedSlamState, depth, color):
@@ -178,7 +169,53 @@ def make_step(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
         )
         return new_state, info
 
+    return step
+
+
+def make_step(cfg: EngineConfig, mesh: Mesh, donate: bool = False):
+    """Build the jitted sharded step for (cfg, mesh).
+
+    The mesh is closed over (it is not a pytree); the returned function
+    has the same signature/behavior as engine/slam.step.  With
+    `cfg.raycast.use_splat` the map work runs the fused fast path
+    (shard.fused_step_map — list-based allocation, slot-addressed
+    integrate, per-shard MXU splat prediction with depth prior); without
+    it the marched golden path (shard.integrate + shard.raycast) runs.
+    `donate=True` donates the input state (sequential drivers rebind it
+    every frame, letting XLA update the sharded payload in place).
+    """
+    step = _step_fn(cfg, mesh)
     return _donated(step) if donate else jax.jit(step)
+
+
+def make_run_chunk(cfg: EngineConfig, mesh: Mesh):
+    """Sharded chunked replay: `step` over K staged frames in ONE
+    dispatch (`lax.scan`), the sharded analog of engine/slam.run_chunk.
+
+    Per-frame host dispatch is the residual gap between the sharded and
+    single-chip engines once the shard bodies run the same group kernels
+    (~0.94x measured at the graded config); offline-log replay amortizes
+    it across the chunk.  Signature: (state, depths (K,H,W), colors
+    (K,H,W,3)) -> (state, stacked StepInfo).  The input state is donated
+    — rebind it.
+    """
+    step = _step_fn(cfg, mesh)
+
+    def run_chunk(state, depths, colors):
+        def body(st, frame):
+            d, c = frame
+            return step(st, d, c)
+
+        new_state, infos = jax.lax.scan(body, state, (depths, colors))
+        t_wc, t_pred, t_prev = jax.lax.optimization_barrier(
+            (new_state.T_wc, new_state.pred_T_wc, new_state.T_prev_wc)
+        )
+        return (
+            new_state._replace(T_wc=t_wc, pred_T_wc=t_pred, T_prev_wc=t_prev),
+            infos,
+        )
+
+    return jax.jit(run_chunk, donate_argnums=(0,))
 
 
 def make_step_gt(cfg: EngineConfig, mesh: Mesh, donate: bool = False):

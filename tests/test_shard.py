@@ -534,3 +534,46 @@ def test_reshard_policy_rebalances_skew(mesh):
     np.testing.assert_allclose(
         np.asarray(sh.sdf)[hdir[sel]], sdf_before, atol=1e-6
     )
+
+
+def test_sharded_run_chunk_matches_stepping(mesh):
+    """slam_sharded.make_run_chunk (lax.scan replay, one dispatch per K
+    frames) == K sequential make_step calls: same pose, same occupancy,
+    same prediction."""
+    from instancefusion_tpu.config import (
+        EngineConfig, IcpConfig, PreprocessConfig,
+        RaycastConfig as RC_, TsdfConfig as TC_,
+    )
+    from instancefusion_tpu.engine import slam_sharded
+
+    ecfg = EngineConfig(
+        intrinsics=SMALL_INTR,
+        tsdf=dataclasses.replace(CFG, table_capacity=4096, touched_capacity=512),
+        icp=IcpConfig(iters=(6, 4, 4), min_valid=60, rgb_weight=0.0),
+        raycast=RC_(near=0.2, far=4.0, use_depth_prior=True,
+                    screen_space_normals=True, use_splat=True, splat_rmax=3),
+        preprocess=PreprocessConfig(),
+        map_kind="blocks", num_shards=NSHARDS,
+    )
+    frames = _frames(3)
+    s_ref = slam_sharded.init_state(ecfg, mesh, frames[0].T_wc)
+    step = slam_sharded.make_step(ecfg, mesh)
+    for f in frames:
+        s_ref, _ = step(s_ref, f.depth, f.color)
+
+    s_chk = slam_sharded.init_state(ecfg, mesh, frames[0].T_wc)
+    run_chunk = slam_sharded.make_run_chunk(ecfg, mesh)
+    depths = jnp.stack([f.depth for f in frames])
+    colors = jnp.stack([f.color for f in frames])
+    s_chk, infos = run_chunk(s_chk, depths, colors)
+
+    np.testing.assert_allclose(
+        np.asarray(s_chk.T_wc), np.asarray(s_ref.T_wc), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_chk.volume.n_active), np.asarray(s_ref.volume.n_active)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_chk.pred.depth), np.asarray(s_ref.pred.depth), atol=1e-4
+    )
+    assert infos.track_ok.shape == (3,)
