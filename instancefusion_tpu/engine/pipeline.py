@@ -311,6 +311,15 @@ def run(
                 )
             else:
                 state, info = _step(state, frame.depth, frame.color)
+        if relocalized:
+            # The first post-relocalization solve is itself a correction
+            # (the re-seat is only keyframe-accurate); extrapolating it
+            # as "velocity" walks the next frame away from a static view
+            # (measured: 113 mm on the blackout-recovery rig).  Zero the
+            # motion model for one more frame.
+            state = slam._unalias_pytree(
+                state._replace(T_prev_wc=state.T_wc)
+            )
         if info.drift_alarm is not None:
             drift_streak = drift_streak + 1 if bool(info.drift_alarm) else 0
         # Dispatch the segmentation head at the configured cadence

@@ -645,13 +645,26 @@ def _update_stamps(cfg, stamp, volume, n_before, T_new, fuse_ok, frame_idx):
     return jnp.stack([last_new, gap_new], axis=-1)
 
 
-def _motion_seed(T_wc, T_prev_wc, vel: float):
+def _motion_seed(T_wc, T_prev_wc, vel: float,
+                 cap_t: float = 0.25, cap_r: float = 0.25):
     """ICP initial pose from a damped constant-velocity motion model.
 
     Replays `vel` x the previous frame's camera-frame twist on top of the
     current pose: vel=0 is the reference's previous-pose seed, vel=1 full
     constant velocity.  After a lost frame (or at start) the stored
     increment is identity, so this degrades gracefully.
+
+    A twist beyond any plausible inter-frame camera motion (cap_t
+    meters, cap_r radians; the defaults are ~7 m/s / ~430 deg/s at
+    30 Hz — far above real rigs, a pure outlier guard) is REJECTED
+    outright (previous-pose seed), not rescaled: an oversized "twist"
+    is a relocalization re-seat or a huge solver correction — a
+    CORRECTION, not motion — and extrapolating any fraction of it
+    points the seed at a place the camera never moved toward.  The
+    finer-grained correction handling is contextual and lives in the
+    pipeline: it zeroes the velocity model for the relocalization frame
+    AND the first post-relocalization step (whose own solve is still a
+    correction, measured 78 mm on the blackout-recovery rig).
     """
     if vel == 0.0:
         return T_wc
@@ -659,8 +672,11 @@ def _motion_seed(T_wc, T_prev_wc, vel: float):
 
     prec = jax.lax.Precision.HIGHEST
     delta = jnp.matmul(se3_inverse(T_prev_wc), T_wc, precision=prec)
-    if vel != 1.0:
-        delta = se3_exp(vel * se3_log(delta))
+    xi = vel * se3_log(delta)
+    tn = jnp.linalg.norm(xi[:3])
+    rn = jnp.linalg.norm(xi[3:])
+    plausible = (tn <= cap_t) & (rn <= cap_r)
+    delta = se3_exp(jnp.where(plausible, 1.0, 0.0) * xi)
     T_seed = jnp.matmul(T_wc, delta, precision=prec)
     return jnp.where(jnp.all(jnp.isfinite(T_seed)), T_seed, T_wc)
 
